@@ -1,0 +1,154 @@
+"""Partitioned graph materialization + lineage + checkpointed resume
+(north_rule: "resumable from checkpoint with per-partition lineage +
+metrics"; graft-specific operators table, SURVEY.md §2).
+
+Iceberg semantics without the Iceberg jar (absent in this sandbox —
+the layout keeps the same shape so swapping the writer for
+``df.writeTo(...).partitionedBy(...)`` is mechanical):
+
+- the transcript keyspace is split into ``n_buckets`` deterministic
+  conv_id buckets (xxhash64; bucket == Spark shuffle hash semantics is
+  NOT assumed — the bucket is data, not placement);
+- each bucket is processed and committed independently:
+  ``data/bucket=<k>/`` parquet + ``_manifests/bucket-<k>.json`` with
+  snapshot id, row count and an order-insensitive checksum (sum of
+  per-row xxhash64 over the canonical serialization);
+- a killed job restarts and skips every bucket whose manifest exists
+  (commit order: data first, manifest last, so a torn write re-runs);
+- ``metrics.json`` aggregates per-bucket counts at the end.
+
+The graph table itself is partitioned by predicate local-name —
+vertical partitioning, the classic RDF-store layout: pass-1 style
+scans (rdf:type only) prune to one partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..crypto import Pseudonymizer
+from ..functions.terms import serialize_triple_line
+from ..operators.extract import extract_triples
+from ..operators.index import build_type_index
+from ..rules import Rules
+from .pipeline import pseudonymize
+
+
+def predicate_partition_col():
+    """Partition value: predicate local name, filesystem-safe."""
+    local = F.element_at(F.split(F.col("predicate"), r"[#/]"), -1)
+    return F.regexp_replace(local, r"[^A-Za-z0-9_\-]", "_")
+
+
+def bucket_col(n_buckets: int):
+    return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+
+
+def triples_checksum(triples: DataFrame) -> tuple[int, int]:
+    """(row_count, order-insensitive checksum) over canonical lines."""
+    row = (
+        triples.select(F.xxhash64(serialize_triple_line()).alias("h"))
+        .agg(F.count("*").alias("n"), F.sum("h").alias("checksum"))
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["checksum"] or 0)
+
+
+class GraphTableWriter:
+    """Bucketed, resumable two-pass pipeline runner."""
+
+    def __init__(self, base_path: str, n_buckets: int = 8):
+        self.base_path = base_path
+        self.n_buckets = n_buckets
+        self.manifest_dir = os.path.join(base_path, "_manifests")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def _manifest_path(self, bucket: int) -> str:
+        return os.path.join(self.manifest_dir, f"bucket-{bucket}.json")
+
+    def committed_buckets(self) -> set[int]:
+        out = set()
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("bucket-") and name.endswith(".json"):
+                out.add(int(name[len("bucket-"):-len(".json")]))
+        return out
+
+    def run(
+        self,
+        spark: SparkSession,
+        transcripts: DataFrame,
+        rules: Rules,
+        hasher: Pseudonymizer,
+        snapshot_id: str | None = None,
+        fail_after_bucket: int | None = None,
+    ) -> dict:
+        """Process every uncommitted bucket; returns metrics dict.
+
+        ``fail_after_bucket`` injects a crash for the resume test.
+        The global type index is built over ALL transcripts first (pass
+        1 must see every rdf:type statement regardless of bucket) and
+        persisted once as the pass-2 broadcast side.
+        """
+        snapshot_id = snapshot_id or f"snap-{int(time.time() * 1000)}"
+        triples_all = extract_triples(transcripts)
+
+        index_path = os.path.join(self.base_path, "type_index")
+        index_manifest = os.path.join(self.manifest_dir, "type_index.json")
+        if not os.path.exists(index_manifest):
+            index_df = build_type_index(triples_all)
+            index_df.write.mode("overwrite").parquet(index_path)
+            n = spark.read.parquet(index_path).count()
+            _atomic_write_json(index_manifest, {
+                "snapshot_id": snapshot_id, "rows": n, "stage": "pass1"
+            })
+        index_df = spark.read.parquet(index_path)
+
+        done = self.committed_buckets()
+        metrics: dict = {"snapshot_id": snapshot_id, "buckets": {}, "skipped": sorted(done)}
+        bucketed = transcripts.withColumn("_bucket", bucket_col(self.n_buckets))
+        for bucket in range(self.n_buckets):
+            if bucket in done:
+                continue
+            part = bucketed.filter(F.col("_bucket") == bucket).drop("_bucket")
+            triples = extract_triples(part)
+            out = pseudonymize(triples, index_df, rules, hasher)
+            data_path = os.path.join(self.base_path, "data", f"bucket={bucket}")
+            (
+                out.withColumn("pred_part", predicate_partition_col())
+                .write.mode("overwrite")
+                .partitionBy("pred_part")
+                .parquet(data_path)
+            )
+            n, checksum = triples_checksum(spark.read.parquet(data_path).drop("pred_part"))
+            _atomic_write_json(self._manifest_path(bucket), {
+                "snapshot_id": snapshot_id,
+                "partition_id": bucket,
+                "row_count": n,
+                "checksum": checksum,
+            })
+            metrics["buckets"][str(bucket)] = {"rows": n, "checksum": checksum}
+            if fail_after_bucket is not None and bucket >= fail_after_bucket:
+                raise RuntimeError(f"injected failure after bucket {bucket}")
+
+        total = sum(m["rows"] for m in metrics["buckets"].values())
+        for b in sorted(done):
+            with open(self._manifest_path(b)) as fh:
+                total += json.load(fh)["row_count"]
+        metrics["total_rows"] = total
+        _atomic_write_json(os.path.join(self.base_path, "metrics.json"), metrics)
+        return metrics
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.base_path, "data")).drop("pred_part")
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(obj, fh)
+    os.replace(tmp, path)
