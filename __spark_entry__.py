@@ -1,38 +1,131 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship two-pass KG pipeline on sf0.001.
+queries()     — per-operator DataFrame callables (SURVEY.md §2).
+oracle_sql()  — matching DuckDB SQL (tripsu_spark/plans/oracle.py).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from tripsu_spark.crypto import Pseudonymizer  # noqa: E402
+from tripsu_spark.operators.extract import dedupe_triples, extract_triples  # noqa: E402
+from tripsu_spark.operators.index import build_type_index, type_index_pairs  # noqa: E402
+from tripsu_spark.operators.masking import apply_masks  # noqa: E402
+from tripsu_spark.plans import oracle  # noqa: E402
+from tripsu_spark.plans.oracle import BENCH_SECRET  # noqa: E402
+from tripsu_spark.plans.pipeline import default_rules, pseudonymize  # noqa: E402
+from tripsu_spark.sources.ntriples import ntriples_lines  # noqa: E402
+from tripsu_spark.sources.transcripts import transcripts_from_events  # noqa: E402
+
+TRIPLE_COLS = ["s_kind", "s_value", "predicate", "o_kind", "o_value", "o_datatype", "o_lang"]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_from_events(_events(spark, sf_dir))
+
+
+def _hasher() -> Pseudonymizer:
+    return Pseudonymizer.create("sha256", BENCH_SECRET)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sf0.001 events -> transcripts -> extract -> index ->
+    rule-driven pseudonymization. Returns the emitted triple frame."""
+    transcripts = _transcripts(spark, "/root/testdata/sf0.001")
+    triples = extract_triples(transcripts)
+    index_df = build_type_index(triples)
+    return pseudonymize(triples, index_df, default_rules(), _hasher())
+
+
+# ---------------------------------------------------------------- queries
+
+def q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _transcripts(spark, sf_dir)
+    return t.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+def q_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedupe_triples(extract_triples(_transcripts(spark, sf_dir)))
+
+
+def q_type_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return type_index_pairs(extract_triples(_transcripts(spark, sf_dir)))
+
+
+def q_type_index_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        type_index_pairs(extract_triples(_transcripts(spark, sf_dir)))
+        .groupBy("subject_key")
+        .agg(F.count("*").alias("n_types"))
+    )
+
+
+def q_masked_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    triples = extract_triples(_transcripts(spark, sf_dir))
+    index_df = build_type_index(triples)
+    masked = apply_masks(triples, index_df, default_rules())
+    return masked.select(*TRIPLE_COLS, "mask_subject", "mask_object").distinct()
+
+
+def q_pseudo_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    triples = extract_triples(_transcripts(spark, sf_dir))
+    index_df = build_type_index(triples)
+    return pseudonymize(triples, index_df, default_rules(), _hasher()).distinct()
+
+
+def q_ntriples_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ntriples_lines(q_pseudo_triples(spark, sf_dir)).distinct()
+
+
+def q_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _transcripts(spark, sf_dir)
+    return (
+        t.select(
+            "conv_id",
+            F.explode(F.regexp_extract_all("text", F.lit(r"@user(\d+)"), 1)).alias("entity_id"),
+        )
+        .groupBy("conv_id", "entity_id")
+        .agg(F.count("*").alias("mention_count"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcripts": q_transcripts,
+        "extract_triples": q_extract_triples,
+        "type_index_pairs": q_type_index_pairs,
+        "type_index_sizes": q_type_index_sizes,
+        "masked_triples": q_masked_triples,
+        "pseudo_triples": q_pseudo_triples,
+        "ntriples_lines": q_ntriples_lines,
+        "entity_links": q_entity_links,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "transcripts": oracle.q_transcripts(),
+        "extract_triples": oracle.q_extract_triples(),
+        "type_index_pairs": oracle.q_type_index_pairs(),
+        "type_index_sizes": oracle.q_type_index_sizes(),
+        "masked_triples": oracle.q_masked_triples(),
+        "pseudo_triples": oracle.q_pseudo_triples(),
+        "ntriples_lines": oracle.q_ntriples_lines(),
+        "entity_links": oracle.q_entity_links(),
+    }

@@ -11,7 +11,7 @@ the layout keeps the same shape so swapping the writer for
   NOT assumed — the bucket is data, not placement);
 - each bucket is processed and committed independently:
   ``data/bucket=<k>/`` parquet + ``_manifests/bucket-<k>.json`` with
-  snapshot id, row count and an order-insensitive checksum (sum of
+  snapshot id, row count and an order-insensitive checksum (XOR of
   per-row xxhash64 over the canonical serialization);
 - a killed job restarts and skips every bucket whose manifest exists
   (commit order: data first, manifest last, so a torn write re-runs);
@@ -53,7 +53,7 @@ def triples_checksum(triples: DataFrame) -> tuple[int, int]:
     """(row_count, order-insensitive checksum) over canonical lines."""
     row = (
         triples.select(F.xxhash64(serialize_triple_line()).alias("h"))
-        .agg(F.count("*").alias("n"), F.sum("h").alias("checksum"))
+        .agg(F.count("*").alias("n"), F.bit_xor("h").alias("checksum"))
         .collect()[0]
     )
     return int(row["n"]), int(row["checksum"] or 0)
