@@ -45,63 +45,101 @@ def force(df) -> int:
     return int(row["n"])
 
 
-def pipeline_stages(spark, sf_dir):
+def pipeline_stages(spark, sf_dir, workdir):
+    """Materialized two-pass flow — the architecture the lineage runner
+    uses and the one that scales: extraction writes the graph table
+    once, predicate-partitioned, so pass 1 (rdf:type only) reads ONE
+    partition (partition pruning) instead of re-running extraction."""
+    from tripsu_spark.plans.lineage import predicate_partition_col, read_for_index
+
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     transcripts = transcripts_from_events(events)
     hasher = Pseudonymizer.create("sha256", BENCH_SECRET)
     rules = default_rules()
+    graph_path = os.path.join(workdir, "graph_raw")
 
-    def q_extract():
-        return force(extract_triples(transcripts))
+    def q_extract_write():
+        (
+            extract_triples(transcripts)
+            .withColumn("pred_part", predicate_partition_col())
+            .write.mode("overwrite")
+            .partitionBy("pred_part")
+            .parquet(graph_path)
+        )
+        return spark.read.parquet(graph_path).count()
+
+    def stored():
+        return spark.read.parquet(graph_path).drop("pred_part")
 
     def q_index():
-        return force(build_type_index(extract_triples(transcripts)))
+        return force(build_type_index(read_for_index(spark, graph_path)))
 
     def q_pseudo():
-        triples = extract_triples(transcripts)
-        return force(pseudonymize(triples, build_type_index(triples), rules, hasher))
+        index_df = build_type_index(read_for_index(spark, graph_path))
+        return force(pseudonymize(stored(), index_df, rules, hasher))
 
     def q_serialize():
-        triples = extract_triples(transcripts)
-        out = pseudonymize(triples, build_type_index(triples), rules, hasher)
+        index_df = build_type_index(read_for_index(spark, graph_path))
+        out = pseudonymize(stored(), index_df, rules, hasher)
         return force(out.select(serialize_triple_line().alias("line")))
 
     return {
-        "extract": q_extract,
+        "extract_write": q_extract_write,
         "index": q_index,
-        "pseudo_e2e": q_pseudo,
-        "serialize_e2e": q_serialize,
+        "pseudo": q_pseudo,
+        "serialize": q_serialize,
     }
 
 
-def flagship_rows_and_time(spark, sf_dir) -> tuple[int, float]:
-    """The end-to-end job used for scaling measurements: extract ->
+def flagship_rows_and_time(spark, sf_dir, workdir) -> tuple[int, float]:
+    """End-to-end job for scaling runs: extract -> materialize graph ->
     index -> pseudonymize -> serialize, fully evaluated."""
+    import shutil
+
+    from tripsu_spark.plans.lineage import predicate_partition_col, read_for_index
+
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     transcripts = transcripts_from_events(events)
     hasher = Pseudonymizer.create("sha256", BENCH_SECRET)
     rules = default_rules()
+    graph_path = os.path.join(workdir, "graph_raw")
+    shutil.rmtree(graph_path, ignore_errors=True)
     t0 = time.perf_counter()
-    triples = extract_triples(transcripts)
-    out = pseudonymize(triples, build_type_index(triples), rules, hasher)
+    (
+        extract_triples(transcripts)
+        .withColumn("pred_part", predicate_partition_col())
+        .write.mode("overwrite")
+        .partitionBy("pred_part")
+        .parquet(graph_path)
+    )
+    stored = spark.read.parquet(graph_path).drop("pred_part")
+    out = pseudonymize(stored, build_type_index(read_for_index(spark, graph_path)), rules, hasher)
     n = force(out.select(serialize_triple_line().alias("line")))
     return n, time.perf_counter() - t0
 
 
 def run_default() -> dict:
+    import tempfile
+
     spark = get_spark(master=f"local[{CPUS}]", app_name="tripsu-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    stages = pipeline_stages(spark, SF_DIR)
+    workdir = tempfile.mkdtemp(prefix="tripsu-bench-")
+    stages = pipeline_stages(spark, SF_DIR, workdir)
     queries: dict[str, float] = {}
     rows = {}
     # warmup (JIT, parquet footer cache)
-    stages["extract"]()
+    stages["extract_write"]()
     for name, fn in stages.items():
-        t0 = time.perf_counter()
-        rows[name] = fn()
-        queries[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-2: the sandbox is noisy
+            t0 = time.perf_counter()
+            rows[name] = fn()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        queries[name] = round(best, 3)
     total = round(sum(queries.values()), 3)
-    triples_per_sec = int(rows["pseudo_e2e"] / queries["pseudo_e2e"]) if queries["pseudo_e2e"] else 0
+    e2e = queries["extract_write"] + queries["index"] + queries["pseudo"]
+    triples_per_sec = int(rows["pseudo"] / e2e) if e2e else 0
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "kg_pipeline_total",
@@ -119,6 +157,8 @@ def run_default() -> dict:
 
 def run_scaling() -> dict:
     """Same job, same input, local[8] vs local[32]."""
+    import tempfile
+
     out = {}
     for cores in (8, 32):
         spark = get_spark(
@@ -127,11 +167,12 @@ def run_scaling() -> dict:
             shuffle_partitions=cores,
         )
         spark.sparkContext.setLogLevel("ERROR")
+        workdir = tempfile.mkdtemp(prefix=f"tripsu-scaling-{cores}-")
         # warmup
-        flagship_rows_and_time(spark, SF_DIR)
+        flagship_rows_and_time(spark, SF_DIR, workdir)
         best = None
         for _ in range(3):
-            n, secs = flagship_rows_and_time(spark, SF_DIR)
+            n, secs = flagship_rows_and_time(spark, SF_DIR, workdir)
             best = min(best, secs) if best else secs
         out[cores] = {"rows": n, "sec": round(best, 3), "rows_per_sec": int(n / best)}
         spark.stop()

@@ -32,7 +32,7 @@ import re
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..schemas import KIND_IRI, KIND_LITERAL, TRIPLE_SCHEMA
@@ -79,14 +79,78 @@ def _turn_iri():
     )
 
 
+def _obj_struct(pred, o_kind: str, o_value, o_datatype=None):
+    return F.struct(
+        pred.alias("predicate") if isinstance(pred, Column) else F.lit(pred).alias("predicate"),
+        F.lit(o_kind).alias("o_kind"),
+        o_value.alias("o_value"),
+        (F.lit(o_datatype) if o_datatype else F.lit(None)).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    )
+
+
 def extract_triples(transcripts: DataFrame) -> DataFrame:
-    """Pure-Catalyst extraction. Column order == TRIPLE_SCHEMA."""
-    t = transcripts
-    turn = _turn_iri()
+    """Pure-Catalyst extraction, scan-frugal by construction.
+
+    The per-turn triples (the O(rows) bulk: type/partOf/role/text/ts/
+    tool/mentions) come from ONE narrow scan — each transcript row
+    builds an array<struct> of its triples which a single ``explode``
+    flattens; no unions, no re-shuffles, stays inside whole-stage
+    codegen. Only the small derived frames (conversation/tool typing,
+    entity typing, per-conversation link scores) aggregate separately,
+    over narrow projections. At 100 TB the bulk pass is
+    embarrassingly parallel and shuffle-free; the aggregates shuffle
+    only (conv_id, entity) pairs.
+    """
+    t = transcripts.withColumn(
+        "_users", F.regexp_extract_all(F.col("text"), F.lit(_MENTION_USER), 1)
+    ).withColumn(
+        "_items", F.regexp_extract_all(F.col("text"), F.lit(_MENTION_ITEM), 1)
+    )
     conv = _conv_iri()
 
-    def rows(subj, pred: str, obj) -> DataFrame:
-        return t.select(*_subj(subj), F.lit(pred).alias("predicate"), *obj)
+    base = F.array(
+        _obj_struct(RDF_TYPE, KIND_IRI, F.lit(KG + "Turn")),
+        _obj_struct(KG + "partOf", KIND_IRI, conv),
+        _obj_struct(KG + "hasRole", KIND_LITERAL, F.col("role")),
+        _obj_struct(KG + "hasText", KIND_LITERAL, F.col("text")),
+    )
+    ts_arr = F.filter(
+        F.array(
+            _obj_struct(
+                KG + "ts", KIND_LITERAL, F.date_format(F.col("ts"), TS_FMT), XSD_DATETIME
+            )
+        ),
+        lambda _: F.col("ts").isNotNull(),
+    )
+    tool_arr = F.filter(
+        F.array(
+            _obj_struct(KG + "usedTool", KIND_IRI, F.concat(F.lit(KG + "tool/"), F.col("tool")))
+        ),
+        lambda _: F.col("tool").isNotNull(),
+    )
+    user_arr = F.transform(
+        F.col("_users"),
+        lambda u: _obj_struct(KG + "mentions", KIND_IRI, F.concat(F.lit(KG + "user/"), u)),
+    )
+    item_arr = F.transform(
+        F.col("_items"),
+        lambda i: _obj_struct(KG + "mentions", KIND_IRI, F.concat(F.lit(KG + "item/"), i)),
+    )
+
+    per_turn = t.select(
+        F.lit(KIND_IRI).alias("s_kind"),
+        _turn_iri().alias("s_value"),
+        F.explode(F.concat(base, ts_arr, tool_arr, user_arr, item_arr)).alias("x"),
+    ).select(
+        "s_kind",
+        "s_value",
+        F.col("x.predicate").alias("predicate"),
+        F.col("x.o_kind").alias("o_kind"),
+        F.col("x.o_value").alias("o_value"),
+        F.col("x.o_datatype").alias("o_datatype"),
+        F.col("x.o_lang").alias("o_lang"),
+    )
 
     conv_type = (
         t.select(F.col("conv_id")).distinct()
@@ -95,20 +159,6 @@ def extract_triples(transcripts: DataFrame) -> DataFrame:
             F.lit(RDF_TYPE).alias("predicate"),
             *_iri(F.lit(KG + "Conversation")),
         )
-    )
-    turn_type = rows(turn, RDF_TYPE, _iri(F.lit(KG + "Turn")))
-    part_of = rows(turn, KG + "partOf", _iri(conv))
-    has_role = rows(turn, KG + "hasRole", _lit(F.col("role")))
-    has_text = rows(turn, KG + "hasText", _lit(F.col("text")))
-    ts_lit = t.filter(F.col("ts").isNotNull()).select(
-        *_subj(_turn_iri()),
-        F.lit(KG + "ts").alias("predicate"),
-        *_lit(F.date_format(F.col("ts"), TS_FMT), XSD_DATETIME),
-    )
-    used_tool = t.filter(F.col("tool").isNotNull()).select(
-        *_subj(_turn_iri()),
-        F.lit(KG + "usedTool").alias("predicate"),
-        *_iri(F.concat(F.lit(KG + "tool/"), F.col("tool"))),
     )
     tool_type = (
         t.filter(F.col("tool").isNotNull())
@@ -120,86 +170,76 @@ def extract_triples(transcripts: DataFrame) -> DataFrame:
         )
     )
 
-    # Mention detection: one row per (turn, mentioned entity).
-    def mentions(pattern: str, entity_path: str) -> DataFrame:
-        return (
-            t.select(
-                F.col("conv_id"),
-                F.col("turn_idx"),
-                F.explode(F.regexp_extract_all(F.col("text"), F.lit(pattern), 1)).alias("eid"),
+    # One aggregate over all mentions: (conv, kind, eid) -> count.
+    # Feeds both entity typing (distinct eid per kind) and the reified
+    # entity-link score nodes.
+    links = (
+        t.select(
+            F.col("conv_id"),
+            F.explode(
+                F.concat(
+                    F.transform(
+                        F.col("_users"),
+                        lambda u: F.struct(F.lit("user").alias("kind"), u.alias("eid")),
+                    ),
+                    F.transform(
+                        F.col("_items"),
+                        lambda i: F.struct(F.lit("item").alias("kind"), i.alias("eid")),
+                    ),
+                )
+            ).alias("m"),
+        )
+        .groupBy("conv_id", F.col("m.kind").alias("kind"), F.col("m.eid").alias("eid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    entity_iri = F.concat(F.lit(KG), F.col("kind"), F.lit("/"), F.col("eid"))
+    entity_type = (
+        links.select("kind", "eid").distinct()
+        .select(
+            *_subj(entity_iri),
+            F.lit(RDF_TYPE).alias("predicate"),
+            *_iri(
+                F.when(F.col("kind") == "user", F.lit(KG + "User")).otherwise(
+                    F.lit(KG + "Item")
+                )
+            ),
+        )
+    )
+
+    link_iri = F.concat(
+        F.lit(KG + "link/"), F.col("conv_id"), F.lit("/"), F.col("kind"), F.col("eid")
+    )
+    link_rows = links.select(
+        *_subj(link_iri),
+        F.explode(
+            F.array(
+                _obj_struct(RDF_TYPE, KIND_IRI, F.lit(KG + "EntityLink")),
+                _obj_struct(
+                    KG + "inConv", KIND_IRI, F.concat(F.lit(KG + "conv/"), F.col("conv_id"))
+                ),
+                _obj_struct(KG + "ofEntity", KIND_IRI, entity_iri),
+                _obj_struct(
+                    KG + "mentionCount", KIND_LITERAL, F.col("n").cast("string"), XSD_INTEGER
+                ),
             )
-            .select(
-                *_subj(_turn_iri()),
-                F.lit(KG + "mentions").alias("predicate"),
-                *_iri(F.concat(F.lit(KG + entity_path), F.col("eid"))),
-            )
-        )
+        ).alias("x"),
+    ).select(
+        "s_kind",
+        "s_value",
+        F.col("x.predicate").alias("predicate"),
+        F.col("x.o_kind").alias("o_kind"),
+        F.col("x.o_value").alias("o_value"),
+        F.col("x.o_datatype").alias("o_datatype"),
+        F.col("x.o_lang").alias("o_lang"),
+    )
 
-    user_mentions = mentions(_MENTION_USER, "user/")
-    item_mentions = mentions(_MENTION_ITEM, "item/")
-
-    def entity_types(pattern: str, entity_path: str, type_name: str) -> DataFrame:
-        return (
-            t.select(
-                F.explode(F.regexp_extract_all(F.col("text"), F.lit(pattern), 1)).alias("eid")
-            )
-            .distinct()
-            .select(
-                *_subj(F.concat(F.lit(KG + entity_path), F.col("eid"))),
-                F.lit(RDF_TYPE).alias("predicate"),
-                *_iri(F.lit(KG + type_name)),
-            )
-        )
-
-    user_types = entity_types(_MENTION_USER, "user/", "User")
-    item_types = entity_types(_MENTION_ITEM, "item/", "Item")
-
-    # Entity-link scoring: per (conversation, entity) mention counts,
-    # reified as kg:link/<conv>/<local> nodes.
-    def links(pattern: str, entity_path: str, local_prefix: str) -> DataFrame:
-        counted = (
-            t.select(
-                F.col("conv_id"),
-                F.explode(F.regexp_extract_all(F.col("text"), F.lit(pattern), 1)).alias("eid"),
-            )
-            .groupBy("conv_id", "eid")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        link_iri = F.concat(
-            F.lit(KG + "link/"), F.col("conv_id"), F.lit("/" + local_prefix), F.col("eid")
-        )
-        link_type = counted.select(
-            *_subj(link_iri), F.lit(RDF_TYPE).alias("predicate"), *_iri(F.lit(KG + "EntityLink"))
-        )
-        in_conv = counted.select(
-            *_subj(link_iri),
-            F.lit(KG + "inConv").alias("predicate"),
-            *_iri(F.concat(F.lit(KG + "conv/"), F.col("conv_id"))),
-        )
-        of_entity = counted.select(
-            *_subj(link_iri),
-            F.lit(KG + "ofEntity").alias("predicate"),
-            *_iri(F.concat(F.lit(KG + entity_path), F.col("eid"))),
-        )
-        count_lit = counted.select(
-            *_subj(link_iri),
-            F.lit(KG + "mentionCount").alias("predicate"),
-            *_lit(F.col("n").cast("string"), XSD_INTEGER),
-        )
-        return link_type.unionByName(in_conv).unionByName(of_entity).unionByName(count_lit)
-
-    user_links = links(_MENTION_USER, "user/", "user")
-    item_links = links(_MENTION_ITEM, "item/", "item")
-
-    parts = [
-        conv_type, turn_type, part_of, has_role, has_text, ts_lit,
-        used_tool, tool_type, user_mentions, item_mentions,
-        user_types, item_types, user_links, item_links,
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return (
+        per_turn.unionByName(conv_type)
+        .unionByName(tool_type)
+        .unionByName(entity_type)
+        .unionByName(link_rows)
+    )
 
 
 def extract_triples_pandas(transcripts: DataFrame) -> DataFrame:

@@ -45,6 +45,21 @@ def predicate_partition_col():
     return F.regexp_replace(local, r"[^A-Za-z0-9_\-]", "_")
 
 
+# Partition value predicate_partition_col() yields for rdf:type —
+# pass-1 reads of a stored graph table filter on it for pruning.
+RDF_TYPE_PART = "type"
+
+
+def read_for_index(spark: SparkSession, graph_path: str) -> DataFrame:
+    """Read ONLY the rdf:type partition of a stored graph table (the
+    partition-pruned pass-1 input; `.explain` shows PartitionFilters)."""
+    return (
+        spark.read.parquet(graph_path)
+        .filter(F.col("pred_part") == RDF_TYPE_PART)
+        .drop("pred_part")
+    )
+
+
 def bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
 
