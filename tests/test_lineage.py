@@ -1,0 +1,78 @@
+"""Checkpoint/resume + lineage manifests (north_rule; SURVEY.md §5 item 5)."""
+
+import json
+import os
+
+import pytest
+
+from tripsu_spark.crypto import Pseudonymizer
+from tripsu_spark.plans.lineage import GraphTableWriter, read_for_index
+from tripsu_spark.plans.oracle import BENCH_SECRET
+from tripsu_spark.plans.pipeline import default_rules
+from tripsu_spark.sources.transcripts import synthetic_transcripts
+
+
+@pytest.fixture()
+def setup(spark, tmp_path):
+    transcripts = synthetic_transcripts(spark, n_convs=24, turns_per_conv=4)
+    hasher = Pseudonymizer.create("sha256", BENCH_SECRET)
+    return transcripts, default_rules(), hasher, str(tmp_path / "graph")
+
+
+def test_full_run_writes_manifests_and_metrics(spark, setup):
+    transcripts, rules, hasher, path = setup
+    writer = GraphTableWriter(path, n_buckets=4)
+    metrics = writer.run(spark, transcripts, rules, hasher, snapshot_id="snap-1")
+    assert writer.committed_buckets() == {0, 1, 2, 3}
+    assert metrics["total_rows"] == writer.read(spark).count() > 0
+    with open(os.path.join(path, "metrics.json")) as fh:
+        on_disk = json.load(fh)
+    assert on_disk["snapshot_id"] == "snap-1"
+    for b in range(4):
+        with open(os.path.join(path, "_manifests", f"bucket-{b}.json")) as fh:
+            m = json.load(fh)
+        assert m["row_count"] > 0 and "checksum" in m
+
+
+def test_kill_and_resume_skips_committed_buckets(spark, setup):
+    transcripts, rules, hasher, path = setup
+    writer = GraphTableWriter(path, n_buckets=4)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        writer.run(spark, transcripts, rules, hasher, fail_after_bucket=1)
+    done_before = writer.committed_buckets()
+    assert done_before == {0, 1}
+
+    # restart: only the remaining buckets run
+    metrics = writer.run(spark, transcripts, rules, hasher, snapshot_id="snap-2")
+    assert set(metrics["skipped"]) == done_before
+    assert set(metrics["buckets"].keys()) == {"2", "3"}
+    assert writer.committed_buckets() == {0, 1, 2, 3}
+
+    # resumed result identical to a clean one-shot run
+    clean = GraphTableWriter(path + "-clean", n_buckets=4)
+    clean.run(spark, transcripts, rules, hasher)
+    got = {tuple(r) for r in writer.read(spark).collect()}
+    want = {tuple(r) for r in clean.read(spark).collect()}
+    assert got == want
+
+
+def test_resume_is_noop_when_complete(spark, setup):
+    transcripts, rules, hasher, path = setup
+    writer = GraphTableWriter(path, n_buckets=2)
+    m1 = writer.run(spark, transcripts, rules, hasher)
+    m2 = writer.run(spark, transcripts, rules, hasher)
+    assert m2["buckets"] == {}
+    assert m2["total_rows"] == m1["total_rows"]
+
+
+def test_read_for_index_prunes_partitions(spark, setup):
+    transcripts, rules, hasher, path = setup
+    writer = GraphTableWriter(path, n_buckets=2)
+    writer.run(spark, transcripts, rules, hasher)
+    data = os.path.join(path, "data")
+    df = read_for_index(spark, data)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "pred_part" in plan
+    # every row really is rdf:type
+    preds = {r["predicate"] for r in df.select("predicate").distinct().collect()}
+    assert preds == {"http://www.w3.org/1999/02/22-rdf-syntax-ns#type"}
