@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from tripsu_spark.crypto import Pseudonymizer  # noqa: E402
+from tripsu_spark.operators import dedup, multimodal, similarity, text  # noqa: E402
 from tripsu_spark.operators.extract import dedupe_triples, extract_triples  # noqa: E402
 from tripsu_spark.operators.index import build_type_index, type_index_pairs  # noqa: E402
 from tripsu_spark.operators.masking import apply_masks  # noqa: E402
@@ -105,8 +106,17 @@ def q_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- KG construction core (tripsu parity, SURVEY.md §2 O1-O9) ---
         "transcripts": q_transcripts,
         "extract_triples": q_extract_triples,
         "type_index_pairs": q_type_index_pairs,
@@ -115,6 +125,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudo_triples": q_pseudo_triples,
         "ntriples_lines": q_ntriples_lines,
         "entity_links": q_entity_links,
+        # --- training-data pipeline ops: dedup ---
+        "dedup_exact": lambda s, d: dedup.dedup_exact(_documents(s, d)),
+        "dedup_minhash_lsh": lambda s, d: dedup.dedup_minhash_lsh(_documents(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: dedup.dedup_ngram_jaccard(_documents(s, d)),
+        "dedup_simhash": lambda s, d: dedup.simhash(_documents(s, d)),
+        "dedup_embedding_cosine": lambda s, d: similarity.dedup_embedding_cosine(_embeddings(s, d)),
+        # --- similarity search ---
+        "ann_cosine_topk": lambda s, d: similarity.ann_topk(_embeddings(s, d)),
+        "ann_lsh_buckets": lambda s, d: similarity.lsh_buckets(_embeddings(s, d)),
+        "ann_cosine_topk_lsh": lambda s, d: similarity.ann_topk_lsh(_embeddings(s, d)),
+        # --- text analysis ---
+        "token_count": lambda s, d: text.token_count(_documents(s, d)),
+        "quality_score": lambda s, d: text.quality_score(_documents(s, d)),
+        "lang_id": lambda s, d: text.lang_id(_documents(s, d)),
+        "doc_fingerprint": lambda s, d: text.doc_fingerprint(_documents(s, d)),
+        # --- multimodal (pandas-UDF decode plumbing, fake decode) ---
+        "multimodal_features": lambda s, d: multimodal.multimodal_features(_documents(s, d)),
     }
 
 
@@ -128,4 +155,17 @@ def oracle_sql() -> dict[str, str]:
         "pseudo_triples": oracle.q_pseudo_triples(),
         "ntriples_lines": oracle.q_ntriples_lines(),
         "entity_links": oracle.q_entity_links(),
+        "dedup_exact": dedup.dedup_exact_oracle(),
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh_oracle(),
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
+        "dedup_simhash": dedup.simhash_oracle(),
+        "dedup_embedding_cosine": similarity.dedup_embedding_cosine_oracle(),
+        "ann_cosine_topk": similarity.ann_topk_oracle(),
+        "ann_lsh_buckets": similarity.lsh_buckets_oracle(),
+        "ann_cosine_topk_lsh": similarity.ann_topk_lsh_oracle(),
+        "token_count": text.token_count_oracle(),
+        "quality_score": text.quality_score_oracle(),
+        "lang_id": text.lang_id_oracle(),
+        "doc_fingerprint": text.doc_fingerprint_oracle(),
+        "multimodal_features": multimodal.multimodal_features_oracle(),
     }

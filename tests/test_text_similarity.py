@@ -1,0 +1,121 @@
+"""Text analysis + similarity search operators."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tripsu_spark.operators import multimodal, similarity, text
+
+DOCS = [
+    (0, "the cat and the dog of a house", "en", "s", 30),
+    (1, "der Hund und die Katze und das Haus", "de", "s", 35),
+    (2, "xyzzy plugh qwerty", "zz", "s", 18),
+]
+COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, COLS)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0], 1),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0], 1),  # opposite of 0
+        (4, [1.0, 0.0, 0.1, 0.0], 0),   # close to 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    return df.withColumn("embedding", F.col("embedding").cast("array<float>"))
+
+
+def test_token_count(spark, docs):
+    got = {r["doc_id"]: r for r in text.token_count(docs).collect()}
+    assert got[0]["n_tokens"] == 8
+    assert got[0]["n_distinct"] == 7  # 'the' twice
+    assert got[2]["n_tokens"] == 3
+    # BPE-ish: ceil(len/4) per token: xyzzy=2, plugh=2, qwerty=2
+    assert got[2]["n_bpe"] == 6
+
+
+def test_quality_score_formula(spark, docs):
+    got = {r["doc_id"]: r["quality"] for r in text.quality_score(docs).collect()}
+    # doc 0: 8 tokens, 7 distinct, stop hits: the,and,the,of,a = 5
+    expected = round(0.4 * 7 / 8 + 0.3 * 5 / 8 + 0.3 * min(8 / 100, 1.0), 6)
+    assert got[0] == expected
+    assert got[2] < got[0]  # no stopwords -> lower score
+
+
+def test_lang_id(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "und"
+
+
+def test_doc_fingerprint_order_insensitive(spark):
+    rows = [(0, "b a c", "en", "s", 5), (1, "c b a", "en", "s", 5), (2, "a b d", "en", "s", 5)]
+    df = spark.createDataFrame(rows, COLS)
+    got = {r["doc_id"]: r["fingerprint"] for r in text.doc_fingerprint(df).collect()}
+    assert got[0] == got[1] != got[2]
+
+
+def test_ann_topk_exact(spark, vecs, monkeypatch):
+    monkeypatch.setattr(similarity, "N_QUERIES", 1)
+    got = [
+        (r["neighbor_id"], r["rank"], r["score"])
+        for r in similarity.ann_topk(vecs).orderBy("rank").collect()
+    ]
+    # neighbors of v0 by cosine: v4 (~0.995) > v1 (~0.994) > v2 (0) > v3 (-1)
+    assert [g[0] for g in got] == [4, 1, 2, 3]
+    assert got[0][2] == round(1.0 / math.sqrt(1.01), 6)
+    assert got[2][2] == 0.0 and got[3][2] == -1.0
+
+
+def test_lsh_bucket_groups_similar_vectors(spark, vecs):
+    # tile the 4-dim test vectors up to the operator's DIM=64
+    tiled = vecs.withColumn(
+        "embedding",
+        F.expr(
+            f"transform(sequence(1,{similarity.DIM}), i -> element_at(embedding, ((i-1) % 4) + 1))"
+        ).cast("array<float>"),
+    )
+    got = {r["vec_id"]: r["bucket"] for r in similarity.lsh_buckets(tiled).collect()}
+    # identical-direction vectors share buckets; opposite vectors differ
+    assert got[0] == got[1] == got[4]
+    assert got[0] != got[3]
+    assert all(len(b) == similarity.N_PLANES for b in got.values())
+
+
+def test_dedup_embedding_cosine(spark, vecs):
+    pairs = {(r["a"], r["b"]) for r in similarity.dedup_embedding_cosine(vecs).collect()}
+    assert (0, 1) in pairs and (0, 4) in pairs and (1, 4) in pairs
+    assert (0, 2) not in pairs and (0, 3) not in pairs
+
+
+def test_multimodal_features_plumbing(spark, docs):
+    feats = {r["asset_id"]: r for r in multimodal.multimodal_features(docs).collect()}
+    assert set(feats) == {0, 1, 2}
+    r = feats[0]
+    assert r["kind"] == "image" and r["n_bytes"] == len(DOCS[0][1].encode())
+    import hashlib
+
+    digest = hashlib.md5(DOCS[0][1].encode()).hexdigest()
+    assert r["checksum"] == digest
+    assert r["width"] == (int(digest[0:2], 16) % 64 + 1) * 16
+    assert 16 <= r["height"] <= 1024
+
+
+def test_multimodal_real_decode_is_gated(spark, docs):
+    assets = multimodal.assets_from_documents(docs)
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("pillow present; gate not exercised")
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            multimodal.extract_features(assets, decode="real")

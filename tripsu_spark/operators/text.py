@@ -1,0 +1,140 @@
+"""Text-analysis operators over the ``documents`` table (training-data
+pipeline ops): token counting, quality scoring, language-ID heuristic,
+document fingerprinting. All pure Catalyst expressions — single narrow
+scan each, no shuffles, no UDFs; each ships its DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is"]
+
+# language -> marker words (heuristic n-gram/stopword language ID;
+# ties resolve in this order)
+LANG_MARKERS = [
+    ("en", ["the", "a", "and", "of", "to"]),
+    ("de", ["der", "die", "das", "und", "nicht"]),
+    ("es", ["el", "los", "las", "y", "que"]),
+    ("fr", ["le", "les", "et", "une", "est"]),
+]
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(text), r"\s+")
+
+
+def _count_markers(text: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct): whitespace + BPE-ish subword count.
+
+    n_bpe approximates a BPE token count as ceil(char_len / 4) summed
+    over words — the standard ~4-chars-per-token heuristic, computed
+    exactly (and identically) in both engines."""
+    toks = _tokens(F.col("text"))
+    n_bpe = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("bigint"),
+    )
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        n_bpe.alias("n_bpe"),
+    )
+
+
+def token_count_oracle() -> str:
+    return """
+SELECT doc_id,
+  CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS BIGINT) AS n_distinct,
+  CAST(list_aggregate(list_transform(string_split_regex(lower(text), '\\s+'),
+       t -> CAST(ceil(length(t) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS n_bpe
+FROM documents
+"""
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """(doc_id, quality): 0.4*distinct-token ratio + 0.3*stopword hit
+    ratio + 0.3*length saturation(min(n_tokens/100, 1))."""
+    toks = _tokens(F.col("text"))
+    n = F.size(toks).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    stop_ratio = _count_markers(F.col("text"), STOPWORDS) / n
+    length_sat = F.least(n / 100.0, F.lit(1.0))
+    score = F.round(0.4 * distinct_ratio + 0.3 * stop_ratio + 0.3 * length_sat, 6)
+    return documents.select("doc_id", score.alias("quality"))
+
+
+def quality_score_oracle() -> str:
+    pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    return f"""
+SELECT doc_id, ROUND(
+    0.4 * (len(list_distinct(string_split_regex(lower(text), '\\s+')))
+           / CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE))
+  + 0.3 * (len(regexp_extract_all(lower(text), '{pat}'))
+           / CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE))
+  + 0.3 * least(len(string_split_regex(lower(text), '\\s+')) / 100.0, 1.0)
+, 6) AS quality
+FROM documents
+"""
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, lang_actual): marker-word language guess
+    next to the table's labeled lang for eyeballing accuracy."""
+    counts = {lang: _count_markers(F.col("text"), w) for lang, w in LANG_MARKERS}
+    names = [lang for lang, _ in LANG_MARKERS]
+    # argmax with first-in-list-wins tiebreak, mirrored 1:1 in the
+    # oracle CASE: lang wins if cnt>0 and cnt strictly beats all
+    # EARLIER languages (earlier ones were already given the chance).
+    pred = None
+    for i, lang in enumerate(names):
+        cond = counts[lang] > 0
+        for prev in names[:i]:
+            cond = cond & (counts[lang] > counts[prev])
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit("und"))
+    return documents.select(
+        "doc_id", pred.alias("lang_pred"), F.col("lang").alias("lang_actual")
+    )
+
+
+def lang_id_oracle() -> str:
+    cases = []
+    names = [lang for lang, _ in LANG_MARKERS]
+    cnt_sql = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(w)})\\b'))"
+        for lang, w in LANG_MARKERS
+    }
+    for i, lang in enumerate(names):
+        conds = [f"{cnt_sql[lang]} > 0"]
+        for prev in names[:i]:
+            conds.append(f"{cnt_sql[lang]} > {cnt_sql[prev]}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"SELECT doc_id, {case} AS lang_pred, lang AS lang_actual FROM documents"
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint): md5 over the sorted distinct token set —
+    an order-insensitive content fingerprint (near-dup prefilter)."""
+    toks = _tokens(F.col("text"))
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    return documents.select("doc_id", fp.alias("fingerprint"))
+
+
+def doc_fingerprint_oracle() -> str:
+    return """
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(
+      string_split_regex(lower(text), '\\s+'))), ' ')) AS fingerprint
+FROM documents
+"""
