@@ -89,24 +89,21 @@ def _obj_struct(pred, o_kind: str, o_value, o_datatype=None):
     )
 
 
-def extract_triples(transcripts: DataFrame) -> DataFrame:
-    """Pure-Catalyst extraction, scan-frugal by construction.
-
-    The per-turn triples (the O(rows) bulk: type/partOf/role/text/ts/
-    tool/mentions) come from ONE narrow scan — each transcript row
-    builds an array<struct> of its triples which a single ``explode``
-    flattens; no unions, no re-shuffles, stays inside whole-stage
-    codegen. Only the small derived frames (conversation/tool typing,
-    entity typing, per-conversation link scores) aggregate separately,
-    over narrow projections. At 100 TB the bulk pass is
-    embarrassingly parallel and shuffle-free; the aggregates shuffle
-    only (conv_id, entity) pairs.
-    """
-    t = transcripts.withColumn(
+def _with_mentions(transcripts: DataFrame) -> DataFrame:
+    return transcripts.withColumn(
         "_users", F.regexp_extract_all(F.col("text"), F.lit(_MENTION_USER), 1)
     ).withColumn(
         "_items", F.regexp_extract_all(F.col("text"), F.lit(_MENTION_ITEM), 1)
     )
+
+
+def per_turn_triples(transcripts: DataFrame) -> DataFrame:
+    """The stateless O(rows) bulk of extraction: each transcript row
+    independently yields its turn triples (type/partOf/role/text/ts/
+    tool/mentions) via one array<struct> + explode — a single narrow
+    scan, shuffle-free, whole-stage-codegen'd. Also used unchanged by
+    the Structured Streaming path (it is append-only per row)."""
+    t = _with_mentions(transcripts)
     conv = _conv_iri()
 
     base = F.array(
@@ -138,7 +135,7 @@ def extract_triples(transcripts: DataFrame) -> DataFrame:
         lambda i: _obj_struct(KG + "mentions", KIND_IRI, F.concat(F.lit(KG + "item/"), i)),
     )
 
-    per_turn = t.select(
+    return t.select(
         F.lit(KIND_IRI).alias("s_kind"),
         _turn_iri().alias("s_value"),
         F.explode(F.concat(base, ts_arr, tool_arr, user_arr, item_arr)).alias("x"),
@@ -151,6 +148,19 @@ def extract_triples(transcripts: DataFrame) -> DataFrame:
         F.col("x.o_datatype").alias("o_datatype"),
         F.col("x.o_lang").alias("o_lang"),
     )
+
+
+def extract_triples(transcripts: DataFrame) -> DataFrame:
+    """Pure-Catalyst extraction, scan-frugal by construction.
+
+    ``per_turn_triples`` provides the O(rows) bulk from one scan; only
+    the small derived frames (conversation/tool typing, entity typing,
+    per-conversation link scores) aggregate separately, over narrow
+    projections. At 100 TB the bulk pass is embarrassingly parallel and
+    shuffle-free; the aggregates shuffle only (conv_id, entity) pairs.
+    """
+    t = _with_mentions(transcripts)
+    per_turn = per_turn_triples(transcripts)
 
     conv_type = (
         t.select(F.col("conv_id")).distinct()

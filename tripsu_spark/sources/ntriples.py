@@ -51,8 +51,10 @@ def _unescape(value: str) -> str:
     return re.sub(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)", sub, value)
 
 
+# Fully nullable: quarantined rows carry NULL triple columns + _error.
 PARSED_SCHEMA = StructType(
-    TRIPLE_SCHEMA.fields + [StructField("_error", StringType(), True)]
+    [StructField(f.name, f.dataType, True) for f in TRIPLE_SCHEMA.fields]
+    + [StructField("_error", StringType(), True)]
 )
 
 

@@ -1,0 +1,70 @@
+"""Structured Streaming variant of the extraction layer.
+
+The reference is streaming only in the I/O sense (constant-memory
+stdin->stdout piping, io.rs:24-37) with no event-time semantics, so
+batch + snapshot resume is the parity architecture (SURVEY.md §2
+"explicit absences"). This module exists for pipelines that want the
+SAME extraction logic over a live feed of transcript rows:
+
+- per-turn triples are stateless row-local transforms -> they stream
+  append-mode unchanged (``per_turn_triples`` is shared with batch);
+- entity-link scores are a windowed streaming aggregate with a
+  watermark on ``ts`` (late turns beyond the watermark are dropped
+  from scoring — the batch path remains the exact authority).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import _MENTION_USER, per_turn_triples
+from ..schemas import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of transcript parquet drops."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def stream_per_turn_triples(transcripts: DataFrame) -> DataFrame:
+    """Append-mode streaming triples (same logic as batch)."""
+    return per_turn_triples(transcripts)
+
+
+def stream_entity_link_counts(
+    transcripts: DataFrame, watermark: str = "10 minutes", window: str = "1 hour"
+) -> DataFrame:
+    """Windowed per-(conv, entity) mention counts with late-data bound."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .select(
+            F.col("conv_id"),
+            F.col("ts"),
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(_MENTION_USER), 1)
+            ).alias("entity_id"),
+        )
+        .groupBy(F.window("ts", window), "conv_id", "entity_id")
+        .agg(F.count(F.lit(1)).alias("mention_count"))
+    )
+
+
+def run_stream_to_parquet(
+    spark: SparkSession, in_path: str, out_path: str, checkpoint: str
+):
+    """Drain everything currently in ``in_path`` (availableNow) into a
+    parquet triple table with an exactly-once checkpoint; restartable."""
+    stream = stream_per_turn_triples(read_transcript_stream(spark, in_path))
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
