@@ -1,0 +1,67 @@
+"""spark-submit entry point for the two-pass KG pipeline.
+
+Cluster usage (north_rule: spark-submit --py-files on multi-executor
+clusters):
+
+    zip -r tripsu_spark.zip tripsu_spark
+    spark-submit --py-files tripsu_spark.zip jobs/run_pipeline.py \
+        --input  /data/transcripts \
+        --output /data/graph \
+        --rules  rules.yaml \
+        --secret-file secret.bin \
+        [--algorithm sha256|blake3] [--buckets 64] [--resume]
+
+Local smoke:
+
+    python jobs/run_pipeline.py --input <parquet> --output /tmp/graph
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import SparkSession
+
+from tripsu_spark.crypto import Pseudonymizer
+from tripsu_spark.plans.lineage import GraphTableWriter
+from tripsu_spark.plans.pipeline import default_rules
+from tripsu_spark.rules import Rules
+from tripsu_spark.session import DEFAULTS
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="two-pass KG construction + pseudonymization")
+    ap.add_argument("--input", required=True, help="transcript table path (parquet)")
+    ap.add_argument("--output", required=True, help="graph table base path")
+    ap.add_argument("--rules", help="rules YAML (default: flagship rules)")
+    ap.add_argument("--secret-file", help=">=32-byte secret file; omit for a random key")
+    ap.add_argument("--algorithm", default="sha256", choices=["sha256", "blake3"])
+    ap.add_argument("--buckets", type=int, default=16, help="resume/commit granularity")
+    ap.add_argument("--snapshot-id", default=None)
+    args = ap.parse_args()
+
+    builder = SparkSession.builder.appName("tripsu-spark-pipeline")
+    for k, v in DEFAULTS.items():
+        if k not in ("spark.driver.memory", "spark.ui.enabled"):
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+
+    rules = Rules.load(args.rules) if args.rules else default_rules()
+    secret = Path(args.secret_file).read_bytes() if args.secret_file else None
+    hasher = Pseudonymizer.create(args.algorithm, secret)
+
+    transcripts = spark.read.parquet(args.input)
+    writer = GraphTableWriter(args.output, n_buckets=args.buckets)
+    metrics = writer.run(spark, transcripts, rules, hasher, snapshot_id=args.snapshot_id)
+    print(json.dumps(metrics))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -23,12 +23,12 @@ def test_full_run_writes_manifests_and_metrics(spark, setup):
     transcripts, rules, hasher, path = setup
     writer = GraphTableWriter(path, n_buckets=4)
     metrics = writer.run(spark, transcripts, rules, hasher, snapshot_id="snap-1")
-    assert writer.committed_buckets() == {0, 1, 2, 3}
+    assert writer.committed_buckets() == {0, 1, 2, 3, "derived"}
     assert metrics["total_rows"] == writer.read(spark).count() > 0
     with open(os.path.join(path, "metrics.json")) as fh:
         on_disk = json.load(fh)
     assert on_disk["snapshot_id"] == "snap-1"
-    for b in range(4):
+    for b in [0, 1, 2, 3, "derived"]:
         with open(os.path.join(path, "_manifests", f"bucket-{b}.json")) as fh:
             m = json.load(fh)
         assert m["row_count"] > 0 and "checksum" in m
@@ -42,11 +42,11 @@ def test_kill_and_resume_skips_committed_buckets(spark, setup):
     done_before = writer.committed_buckets()
     assert done_before == {0, 1}
 
-    # restart: only the remaining buckets run
+    # restart: only the remaining buckets (incl. derived) run
     metrics = writer.run(spark, transcripts, rules, hasher, snapshot_id="snap-2")
     assert set(metrics["skipped"]) == done_before
-    assert set(metrics["buckets"].keys()) == {"2", "3"}
-    assert writer.committed_buckets() == {0, 1, 2, 3}
+    assert set(metrics["buckets"].keys()) == {"2", "3", "derived"}
+    assert writer.committed_buckets() == {0, 1, 2, 3, "derived"}
 
     # resumed result identical to a clean one-shot run
     clean = GraphTableWriter(path + "-clean", n_buckets=4)
@@ -63,6 +63,18 @@ def test_resume_is_noop_when_complete(spark, setup):
     m2 = writer.run(spark, transcripts, rules, hasher)
     assert m2["buckets"] == {}
     assert m2["total_rows"] == m1["total_rows"]
+
+
+def test_bucket_count_invariance(spark, setup):
+    """The committed graph (set AND multiset size) must not depend on
+    n_buckets — derived triples are global facts, emitted once."""
+    transcripts, rules, hasher, path = setup
+    m2 = GraphTableWriter(path + "-b2", n_buckets=2).run(spark, transcripts, rules, hasher)
+    m5 = GraphTableWriter(path + "-b5", n_buckets=5).run(spark, transcripts, rules, hasher)
+    assert m2["total_rows"] == m5["total_rows"]
+    a = {tuple(r) for r in GraphTableWriter(path + "-b2").read(spark).collect()}
+    b = {tuple(r) for r in GraphTableWriter(path + "-b5").read(spark).collect()}
+    assert a == b
 
 
 def test_read_for_index_prunes_partitions(spark, setup):

@@ -150,17 +150,13 @@ def per_turn_triples(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def extract_triples(transcripts: DataFrame) -> DataFrame:
-    """Pure-Catalyst extraction, scan-frugal by construction.
-
-    ``per_turn_triples`` provides the O(rows) bulk from one scan; only
-    the small derived frames (conversation/tool typing, entity typing,
-    per-conversation link scores) aggregate separately, over narrow
-    projections. At 100 TB the bulk pass is embarrassingly parallel and
-    shuffle-free; the aggregates shuffle only (conv_id, entity) pairs.
-    """
+def derived_triples(transcripts: DataFrame) -> DataFrame:
+    """The aggregate-derived (non-per-turn) triples: conversation/tool
+    typing, mentioned-entity typing, and reified entity-link scores.
+    These are GLOBAL facts — a resumable bucketed runner must emit them
+    once over the whole input, not once per bucket (tests/test_lineage
+    asserts bucket-count invariance)."""
     t = _with_mentions(transcripts)
-    per_turn = per_turn_triples(transcripts)
 
     conv_type = (
         t.select(F.col("conv_id")).distinct()
@@ -245,11 +241,23 @@ def extract_triples(transcripts: DataFrame) -> DataFrame:
     )
 
     return (
-        per_turn.unionByName(conv_type)
-        .unionByName(tool_type)
+        conv_type.unionByName(tool_type)
         .unionByName(entity_type)
         .unionByName(link_rows)
     )
+
+
+def extract_triples(transcripts: DataFrame) -> DataFrame:
+    """Pure-Catalyst extraction, scan-frugal by construction.
+
+    ``per_turn_triples`` provides the O(rows) bulk from one scan; only
+    the small ``derived_triples`` frames (conversation/tool typing,
+    entity typing, per-conversation link scores) aggregate separately,
+    over narrow projections. At 100 TB the bulk pass is embarrassingly
+    parallel and shuffle-free; the aggregates shuffle only
+    (conv_id, entity) pairs.
+    """
+    return per_turn_triples(transcripts).unionByName(derived_triples(transcripts))
 
 
 def extract_triples_pandas(transcripts: DataFrame) -> DataFrame:

@@ -28,24 +28,56 @@ from ..functions.terms import object_key, serialize_predicate, subject_key
 from ..rules import Rules
 
 
-def join_types(triples: DataFrame, index_df: DataFrame) -> DataFrame:
-    """Attach subj_types / obj_types arrays via two broadcast joins.
+def _lit_str_array(values) -> Column:
+    vals = sorted(values)
+    if not vals:
+        return F.array().cast("array<string>")
+    return F.array(*[F.lit(v) for v in vals])
 
-    The index is small relative to the triple stream (distinct typed
-    subjects only); at scales where it exceeds the broadcast budget,
-    drop the hint and let AQE pick a shuffled hash join (SURVEY.md §4).
+
+def prune_index_for_rules(index_df: DataFrame, relevant_types) -> DataFrame:
+    """Shrink the index to what the mask expressions can observe.
+
+    The mask algebra only ever tests membership of RULE types inside a
+    subject's type array, so (a) entries whose types don't intersect
+    the rule types can't influence any mask — drop them; (b) within a
+    kept entry, non-rule types are dead weight — intersect them away.
+    Pure projection + filter (no shuffle); routinely turns a
+    billions-of-subjects index into a config-bounded-fraction of it,
+    which is what makes the joins below broadcastable at scale.
     """
-    subj_index = F.broadcast(
-        index_df.select(
-            F.col("subject_key").alias("_subj_key"),
-            F.col("types").alias("subj_types"),
-        )
+    kept = F.array_intersect(F.col("types"), _lit_str_array(relevant_types))
+    return (
+        index_df.select("subject_key", kept.alias("types"))
+        .filter(F.size("types") > 0)
     )
-    obj_index = F.broadcast(
-        index_df.select(
-            F.col("subject_key").alias("_obj_key"),
-            F.col("types").alias("obj_types"),
+
+
+def join_types(
+    triples: DataFrame, index_df: DataFrame, rules: Rules | None = None
+) -> DataFrame:
+    """Attach subj_types / obj_types arrays via two left-outer joins.
+
+    With ``rules`` given, each side joins against a rule-pruned index:
+    the object side only needs ``of_type`` types (node rules are the
+    only object-side lookup, rules.rs:172-176), the subject side needs
+    ``of_type`` + the ``on_type_predicate`` keys. No broadcast hint is
+    forced: AQE converts to a broadcast join at runtime when the pruned
+    side is small (the common case), and keeps a shuffled join when the
+    index is genuinely huge — exactly the 10^12-turn behavior we want.
+    """
+    subj_side, obj_side = index_df, index_df
+    if rules is not None:
+        subj_side = prune_index_for_rules(
+            index_df,
+            set(rules.node_of_type) | set(rules.object_on_type_predicate),
         )
+        obj_side = prune_index_for_rules(index_df, rules.node_of_type)
+    subj_index = subj_side.select(
+        F.col("subject_key").alias("_subj_key"), F.col("types").alias("subj_types")
+    )
+    obj_index = obj_side.select(
+        F.col("subject_key").alias("_obj_key"), F.col("types").alias("obj_types")
     )
     return (
         triples.withColumn("_subj_key", subject_key())
@@ -53,13 +85,6 @@ def join_types(triples: DataFrame, index_df: DataFrame) -> DataFrame:
         .join(subj_index, on="_subj_key", how="left")
         .join(obj_index, on="_obj_key", how="left")
     )
-
-
-def _lit_str_array(values) -> Column:
-    vals = sorted(values)
-    if not vals:
-        return F.array().cast("array<string>")
-    return F.array(*[F.lit(v) for v in vals])
 
 
 def build_mask_exprs(rules: Rules) -> tuple[Column, Column]:
@@ -113,7 +138,7 @@ def build_mask_exprs(rules: Rules) -> tuple[Column, Column]:
 
 def apply_masks(triples: DataFrame, index_df: DataFrame, rules: Rules) -> DataFrame:
     """triples + index + rules -> triples with mask_subject/mask_object."""
-    joined = join_types(triples, index_df)
+    joined = join_types(triples, index_df, rules)
     mask_s, mask_o = build_mask_exprs(rules)
     return joined.withColumn("mask_subject", mask_s).withColumn(
         "mask_object", mask_o

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..crypto import Pseudonymizer
 from ..functions.terms import serialize_triple_line
-from ..operators.extract import extract_triples
+from ..operators.extract import derived_triples, extract_triples, per_turn_triples
 from ..operators.index import build_type_index
 from ..rules import Rules
 from .pipeline import pseudonymize
@@ -83,14 +83,15 @@ class GraphTableWriter:
         self.manifest_dir = os.path.join(base_path, "_manifests")
         os.makedirs(self.manifest_dir, exist_ok=True)
 
-    def _manifest_path(self, bucket: int) -> str:
+    def _manifest_path(self, bucket) -> str:
         return os.path.join(self.manifest_dir, f"bucket-{bucket}.json")
 
-    def committed_buckets(self) -> set[int]:
-        out = set()
+    def committed_buckets(self) -> set:
+        out: set = set()
         for name in os.listdir(self.manifest_dir):
             if name.startswith("bucket-") and name.endswith(".json"):
-                out.add(int(name[len("bucket-"):-len(".json")]))
+                raw = name[len("bucket-"):-len(".json")]
+                out.add(int(raw) if raw.isdigit() else raw)
         return out
 
     def run(
@@ -110,12 +111,11 @@ class GraphTableWriter:
         persisted once as the pass-2 broadcast side.
         """
         snapshot_id = snapshot_id or f"snap-{int(time.time() * 1000)}"
-        triples_all = extract_triples(transcripts)
 
         index_path = os.path.join(self.base_path, "type_index")
         index_manifest = os.path.join(self.manifest_dir, "type_index.json")
         if not os.path.exists(index_manifest):
-            index_df = build_type_index(triples_all)
+            index_df = build_type_index(extract_triples(transcripts))
             index_df.write.mode("overwrite").parquet(index_path)
             n = spark.read.parquet(index_path).count()
             _atomic_write_json(index_manifest, {
@@ -124,13 +124,23 @@ class GraphTableWriter:
         index_df = spark.read.parquet(index_path)
 
         done = self.committed_buckets()
-        metrics: dict = {"snapshot_id": snapshot_id, "buckets": {}, "skipped": sorted(done)}
+        metrics: dict = {"snapshot_id": snapshot_id, "buckets": {}, "skipped": sorted(done, key=str)}
         bucketed = transcripts.withColumn("_bucket", bucket_col(self.n_buckets))
-        for bucket in range(self.n_buckets):
+
+        # Per-turn triples are conversation-local -> one bucket each.
+        # Derived triples (entity typing, link scores) are GLOBAL facts
+        # and get their own single commit, so the union over all
+        # commits equals extract_triples(all) exactly regardless of
+        # n_buckets (no cross-bucket duplicate type rows).
+        units: list[tuple[int | str, object]] = [
+            (b, per_turn_triples(bucketed.filter(F.col("_bucket") == b).drop("_bucket")))
+            for b in range(self.n_buckets)
+        ]
+        units.append(("derived", derived_triples(transcripts)))
+
+        for bucket, triples in units:
             if bucket in done:
                 continue
-            part = bucketed.filter(F.col("_bucket") == bucket).drop("_bucket")
-            triples = extract_triples(part)
             out = pseudonymize(triples, index_df, rules, hasher)
             data_path = os.path.join(self.base_path, "data", f"bucket={bucket}")
             (
@@ -147,11 +157,15 @@ class GraphTableWriter:
                 "checksum": checksum,
             })
             metrics["buckets"][str(bucket)] = {"rows": n, "checksum": checksum}
-            if fail_after_bucket is not None and bucket >= fail_after_bucket:
+            if (
+                fail_after_bucket is not None
+                and isinstance(bucket, int)
+                and bucket >= fail_after_bucket
+            ):
                 raise RuntimeError(f"injected failure after bucket {bucket}")
 
         total = sum(m["rows"] for m in metrics["buckets"].values())
-        for b in sorted(done):
+        for b in sorted(done, key=str):
             with open(self._manifest_path(b)) as fh:
                 total += json.load(fh)["row_count"]
         metrics["total_rows"] = total
@@ -159,7 +173,10 @@ class GraphTableWriter:
         return metrics
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.base_path, "data")).drop("pred_part")
+        return (
+            spark.read.parquet(os.path.join(self.base_path, "data"))
+            .drop("pred_part", "bucket")
+        )
 
 
 def _atomic_write_json(path: str, obj: dict) -> None:

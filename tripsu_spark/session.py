@@ -23,6 +23,12 @@ DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
+    # This engine's scans are CPU-heavy (regex, hashing, serialization)
+    # over well-compressed string parquet: default 128 MB splits starve
+    # the cores (a 60 MB table = 9M triples would scan in <=8 tasks).
+    # Smaller splits keep every core busy; AQE re-coalesces shuffles.
+    "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+    "spark.sql.files.openCostInBytes": str(512 * 1024),
 }
 
 
