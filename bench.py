@@ -68,18 +68,26 @@ def pipeline_stages(spark, sf_dir, workdir):
         )
         return spark.read.parquet(graph_path).count()
 
+    index_path = os.path.join(workdir, "type_index")
+
     def stored():
         return spark.read.parquet(graph_path).drop("pred_part")
 
     def q_index():
-        return force(build_type_index(read_for_index(spark, graph_path)))
+        # Pass 1 persists the index (tripsu writes index.json; we write
+        # parquet) — pass 2 consumes the MATERIALIZED index, so the
+        # collect_set aggregate runs once, not once per join side.
+        build_type_index(read_for_index(spark, graph_path)).write.mode(
+            "overwrite"
+        ).parquet(index_path)
+        return spark.read.parquet(index_path).count()
 
     def q_pseudo():
-        index_df = build_type_index(read_for_index(spark, graph_path))
+        index_df = spark.read.parquet(index_path)
         return force(pseudonymize(stored(), index_df, rules, hasher))
 
     def q_serialize():
-        index_df = build_type_index(read_for_index(spark, graph_path))
+        index_df = spark.read.parquet(index_path)
         out = pseudonymize(stored(), index_df, rules, hasher)
         return force(out.select(serialize_triple_line().alias("line")))
 
@@ -112,8 +120,10 @@ def flagship_rows_and_time(spark, sf_dir, workdir) -> tuple[int, float]:
         .partitionBy("pred_part")
         .parquet(graph_path)
     )
+    index_path = os.path.join(workdir, "type_index")
+    build_type_index(read_for_index(spark, graph_path)).write.mode("overwrite").parquet(index_path)
     stored = spark.read.parquet(graph_path).drop("pred_part")
-    out = pseudonymize(stored, build_type_index(read_for_index(spark, graph_path)), rules, hasher)
+    out = pseudonymize(stored, spark.read.parquet(index_path), rules, hasher)
     n = force(out.select(serialize_triple_line().alias("line")))
     return n, time.perf_counter() - t0
 
@@ -184,8 +194,10 @@ def scaling_rows_and_time(spark, workdir) -> tuple[int, float]:
         .partitionBy("pred_part")
         .parquet(graph_path)
     )
+    index_path = os.path.join(workdir, "type_index")
+    build_type_index(read_for_index(spark, graph_path)).write.mode("overwrite").parquet(index_path)
     stored = spark.read.parquet(graph_path).drop("pred_part")
-    out = pseudonymize(stored, build_type_index(read_for_index(spark, graph_path)), rules, hasher)
+    out = pseudonymize(stored, spark.read.parquet(index_path), rules, hasher)
     n = force(out.select(serialize_triple_line().alias("line")))
     return n, time.perf_counter() - t0
 
