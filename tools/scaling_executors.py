@@ -1,21 +1,27 @@
 """Executor-model scaling evidence: N vs 4N independent executor
 processes (what spark-submit actually launches on a cluster), each a
 separate JVM running the identical pass-2 map work over its share of
-conversation buckets.
+storage-partitioned input.
 
 Threads in ONE JVM (local[8] vs local[32]) share a heap, a GC, and one
 allocator — that is not what "4x more executors" means on a cluster.
-This harness launches P OS processes, each `local[{threads}]`, over
-disjoint `pmod(xxhash64(conv_id), P)` slices of the same input, and
-reports:
+This harness:
 
-- work_sec: max over executors of the timed job (executors are
-  long-running services on a cluster; JVM/session startup is
-  provisioning, reported separately)
-- wall_sec: includes process + session startup, for full transparency
+- setup (untimed, like table layout + pass 1 on a cluster): writes the
+  transcript table AND the type index hive-partitioned into 8
+  conv-hash slices (slice = pmod(xxhash64(conv_id), 8)), plus the tiny
+  object-side (User-typed) index entries unpartitioned;
+- measurement: P executor processes; executor i reads ONLY its 8/P
+  slices (storage partition pruning — exactly how a cluster executor
+  reads its splits), joins its co-partitioned index slice + the tiny
+  object side, pseudonymizes, serializes, and force-evaluates;
+- reports work_sec = max over executors (executors run concurrently;
+  a long-running cluster executor's job time excludes JVM
+  provisioning, so session startup is reported separately via
+  wall_sec).
 
 Usage: python tools/scaling_executors.py [turns] [N] [threads]
-Defaults: 2_400_000 turns, N=2 executors vs 4N=8, 2 threads each.
+Defaults: 1_200_000 turns, N=2 executors vs 4N=8, 2 threads each.
 """
 
 from __future__ import annotations
@@ -30,6 +36,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+SLICES = 8
+
 WORKER = r"""
 import sys, time, os
 sys.path.insert(0, {repo!r})
@@ -41,28 +49,47 @@ from tripsu_spark.plans.oracle import BENCH_SECRET
 from tripsu_spark.functions.terms import serialize_triple_line
 from pyspark.sql import functions as F
 
-part, nparts, threads, tdir, idir = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], sys.argv[5]
+part, nparts, threads, base = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+SLICES = {slices}
+per = SLICES // nparts
+my_slices = list(range(part * per, (part + 1) * per))
 spark = get_spark(master=f"local[{{threads}}]", app_name=f"exec-{{part}}",
                   shuffle_partitions=threads * 2,
                   extra_conf={{"spark.driver.memory": "6g"}})
 spark.sparkContext.setLogLevel("ERROR")
+t = spark.read.parquet(*[f"{{base}}/transcripts/slice={{s}}" for s in my_slices])
+index_df = spark.read.parquet(*[f"{{base}}/index_subj/slice={{s}}" for s in my_slices]) \
+    .unionByName(spark.read.parquet(f"{{base}}/index_obj"))
+hasher = Pseudonymizer.create("sha256", BENCH_SECRET)
+out = pseudonymize(per_turn_triples(t), index_df, default_rules(), hasher)
+agg = out.agg(F.count(F.lit(1)), F.bit_xor(F.xxhash64(serialize_triple_line())))
+# Warmup: cluster executors are long-running and JIT-warm; a fresh JVM
+# spends 10s+ of compile time in its first job. Warm the JIT on a
+# SMALL separate plan (so the real job's shuffle outputs are not
+# pre-materialized and the timed run is a genuine full execution),
+# then barrier with the other executors so every timed run overlaps
+# exactly the other timed runs (not someone's warmup).
+warm = pseudonymize(per_turn_triples(t.limit(20000)), index_df, default_rules(), hasher)
+warm.agg(F.count(F.lit(1)), F.bit_xor(F.xxhash64(serialize_triple_line()))).collect()
+barrier_dir = sys.argv[5]
+open(os.path.join(barrier_dir, f"ready-{{part}}"), "w").close()
+while len([f for f in os.listdir(barrier_dir) if f.startswith("ready-")]) < nparts:
+    time.sleep(0.2)
 t0 = time.perf_counter()
-t = spark.read.parquet(tdir).filter(F.pmod(F.xxhash64("conv_id"), F.lit(nparts)) == part)
-index_df = spark.read.parquet(idir)
-out = pseudonymize(per_turn_triples(t), index_df, default_rules(), Pseudonymizer.create("sha256", BENCH_SECRET))
-row = out.agg(F.count(F.lit(1)), F.bit_xor(F.xxhash64(serialize_triple_line()))).collect()[0]
+row = agg.collect()[0]
 work = time.perf_counter() - t0
 print(f"RESULT {{row[0]}} {{work:.3f}}", flush=True)
 spark.stop()
 """
 
 
-def run_config(nprocs: int, threads: int, tdir: str, idir: str, repo: str):
-    script = WORKER.format(repo=repo)
+def run_config(nprocs: int, threads: int, base: str, repo: str):
+    script = WORKER.format(repo=repo, slices=SLICES)
+    barrier = tempfile.mkdtemp(prefix="barrier-")
     t_wall = time.perf_counter()
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", script, str(i), str(nprocs), str(threads), tdir, idir],
+            [sys.executable, "-c", script, str(i), str(nprocs), str(threads), base, barrier],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         )
         for i in range(nprocs)
@@ -81,10 +108,12 @@ def run_config(nprocs: int, threads: int, tdir: str, idir: str, repo: str):
 
 
 def main():
-    turns = int(sys.argv[1]) if len(sys.argv) > 1 else 2_400_000
+    turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     threads = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     repo = str(Path(__file__).resolve().parent.parent)
+
+    from pyspark.sql import functions as F
 
     from tripsu_spark.operators.extract import extract_triples
     from tripsu_spark.operators.index import build_type_index
@@ -92,27 +121,46 @@ def main():
     from tripsu_spark.sources.transcripts import synthetic_transcripts
 
     base = tempfile.mkdtemp(prefix="scaling-exec-")
-    tdir, idir = os.path.join(base, "transcripts"), os.path.join(base, "index")
     spark = get_spark(master="local[16]", app_name="scaling-setup", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
-    synthetic_transcripts(spark, n_convs=turns // 10, turns_per_conv=10).write.mode(
-        "overwrite"
-    ).parquet(tdir)
-    # pass-1 index, shared input for both configs (untimed setup)
-    build_type_index(extract_triples(spark.read.parquet(tdir))).write.mode(
-        "overwrite"
-    ).parquet(idir)
+    t = synthetic_transcripts(spark, n_convs=turns // 10, turns_per_conv=10)
+    (
+        t.withColumn("slice", F.pmod(F.xxhash64("conv_id"), F.lit(SLICES)).cast("int"))
+        .repartition(SLICES * 4, "slice")
+        .write.mode("overwrite").partitionBy("slice")
+        .parquet(os.path.join(base, "transcripts"))
+    )
+    t_all = spark.read.parquet(os.path.join(base, "transcripts")).drop("slice")
+    index_df = build_type_index(extract_triples(t_all))
+    conv_of = F.regexp_extract("subject_key", r"(?:conv|turn)/([^/>]+)", 1)
+    # conversation-scoped entries (turn/conv subjects) slice by conv
+    # hash; entity entries (conv_of = '') go ONLY to the global
+    # object-side table — both in a slice AND in index_obj would
+    # duplicate join matches.
+    (
+        index_df.filter(conv_of != "")
+        .withColumn("slice", F.pmod(F.xxhash64(conv_of), F.lit(SLICES)).cast("int"))
+        .repartition(SLICES * 4, "slice")
+        .write.mode("overwrite").partitionBy("slice")
+        .parquet(os.path.join(base, "index_subj"))
+    )
+    index_df.filter(conv_of == "").write.mode("overwrite").parquet(
+        os.path.join(base, "index_obj")
+    )
     spark.stop()
 
     results = {}
     for procs in (n, n * 4):
         best = None
         for _ in range(2):
-            r = run_config(procs, threads, tdir, idir, repo)
+            r = run_config(procs, threads, base, repo)
             best = r if best is None or r["work_sec"] < best["work_sec"] else best
         best["rows_per_sec"] = int(best["rows"] / best["work_sec"])
         results[f"executors_{procs}"] = best
 
+    assert (
+        results[f"executors_{n}"]["rows"] == results[f"executors_{n * 4}"]["rows"]
+    ), f"row mismatch across configs: {results}"
     thr_n = results[f"executors_{n}"]["rows_per_sec"]
     thr_4n = results[f"executors_{n * 4}"]["rows_per_sec"]
     results["scaling_efficiency_N_to_4N"] = round((thr_4n / thr_n) / 4, 3)
