@@ -94,6 +94,19 @@ def q_ntriples_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ntriples_lines(q_pseudo_triples(spark, sf_dir)).distinct()
 
 
+def q_depseudo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymize then invert via the (hash -> original) mapping;
+    the oracle is the plain extraction — round-trip must be identity
+    (BASELINE metric: round-trip de-pseudonymization)."""
+    from tripsu_spark.operators.depseudo import build_mapping, depseudonymize
+
+    triples = extract_triples(_transcripts(spark, sf_dir))
+    index_df = build_type_index(triples)
+    hasher = _hasher()
+    pseudo = pseudonymize(triples, index_df, default_rules(), hasher)
+    return depseudonymize(pseudo, build_mapping(triples, hasher)).distinct()
+
+
 def q_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _transcripts(spark, sf_dir)
     return (
@@ -124,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "masked_triples": q_masked_triples,
         "pseudo_triples": q_pseudo_triples,
         "ntriples_lines": q_ntriples_lines,
+        "depseudo_roundtrip": q_depseudo_roundtrip,
         "entity_links": q_entity_links,
         # --- training-data pipeline ops: dedup ---
         "dedup_exact": lambda s, d: dedup.dedup_exact(_documents(s, d)),
@@ -154,6 +168,8 @@ def oracle_sql() -> dict[str, str]:
         "masked_triples": oracle.q_masked_triples(),
         "pseudo_triples": oracle.q_pseudo_triples(),
         "ntriples_lines": oracle.q_ntriples_lines(),
+        # round-trip inverse == identity: the oracle is the extraction
+        "depseudo_roundtrip": oracle.q_extract_triples(),
         "entity_links": oracle.q_entity_links(),
         "dedup_exact": dedup.dedup_exact_oracle(),
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh_oracle(),
