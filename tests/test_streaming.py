@@ -1,9 +1,16 @@
 """Structured Streaming extraction: streamed per-turn triples equal the
 batch path; checkpoint makes re-runs exactly-once."""
 
+import datetime
+
 from tripsu_spark.operators.extract import per_turn_triples
+from tripsu_spark.schemas import TRANSCRIPT_SCHEMA
 from tripsu_spark.sources.transcripts import synthetic_transcripts
-from tripsu_spark.streaming.stream import run_stream_to_parquet
+from tripsu_spark.streaming.stream import (
+    read_transcript_stream,
+    run_stream_to_parquet,
+    stream_entity_link_state,
+)
 
 
 def test_stream_matches_batch_and_is_exactly_once(spark, tmp_path):
@@ -25,3 +32,40 @@ def test_stream_matches_batch_and_is_exactly_once(spark, tmp_path):
     q2.awaitTermination(120)
     again = {tuple(r) for r in spark.read.parquet(out_path).collect()}
     assert again == want
+
+
+def test_stateful_link_counts_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState: running per-conversation entity-link
+    counts survive micro-batch boundaries (state, not window)."""
+    TS = datetime.datetime(2024, 1, 1)
+    in_path = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = [("c1", 1, "user", "hi @user7", None, TS), ("c2", 1, "user", "yo @user3", None, TS)]
+    batch2 = [("c1", 2, "user", "again @user7 and @user9", None, TS)]
+    spark.createDataFrame(batch1, TRANSCRIPT_SCHEMA).write.mode("overwrite").parquet(in_path)
+
+    def drain(name):
+        rows = []
+
+        def sink(batch_df, _bid):
+            rows.extend(batch_df.collect())
+
+        q = (
+            stream_entity_link_state(read_transcript_stream(spark, in_path))
+            .writeStream.foreachBatch(sink)
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r["conv_id"], r["entity_id"]): r["mention_count"] for r in rows}
+
+    got1 = drain("links1")
+    assert got1 == {("c1", "7"): 1, ("c2", "3"): 1}
+
+    spark.createDataFrame(batch2, TRANSCRIPT_SCHEMA).write.mode("append").parquet(in_path)
+    got2 = drain("links2")
+    # second drain emits only updated keys, with ACCUMULATED counts
+    assert got2 == {("c1", "7"): 2, ("c1", "9"): 1}

@@ -199,6 +199,108 @@ SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ------------------------------------------------------ IVF buckets
+
+N_CENTROIDS = 16
+
+
+def ivf_assign(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, cell) — inverted-file assignment: nearest centroid by
+    cosine, centroids = the first N_CENTROIDS vectors (deterministic
+    seed set; a production build would k-means these, the partitioning
+    machinery is identical). Ties break on lowest centroid id."""
+    cents = embeddings.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cell"), _emb().alias("c")
+    )
+    scored = (
+        embeddings.select(F.col("vec_id"), _emb().alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("score", F.round(cosine(F.col("v"), F.col("c")), 6))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def ann_topk_ivf(embeddings: DataFrame) -> DataFrame:
+    """Bucketed ANN, IVF flavor: exact cosine rank restricted to the
+    query's cell (nprobe=1). The cell column is the natural partition
+    key for the vector table at scale."""
+    assign = ivf_assign(embeddings)
+    withc = embeddings.join(assign, "vec_id").select(
+        F.col("vec_id"), _emb().alias("v"), F.col("cell")
+    )
+    queries = withc.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("cell")
+    )
+    scored = (
+        queries.join(
+            withc.select(F.col("vec_id").alias("neighbor_id"), "v", "cell"), on="cell"
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine(F.col("q"), F.col("v")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def _sql_ivf_assign() -> str:
+    dot = _sql_dot("e.embedding", "c.embedding")
+    ne = _sql_dot("e.embedding", "e.embedding")
+    nc = _sql_dot("c.embedding", "c.embedding")
+    return f"""
+cents AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+cscored AS (
+  SELECT e.vec_id, c.cell,
+         ROUND({dot} / (sqrt({ne}) * sqrt({nc})), 6) AS score
+  FROM embeddings e, cents c
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+    FROM cscored
+  ) WHERE rn = 1
+)
+"""
+
+
+def ivf_assign_oracle() -> str:
+    return "WITH " + _sql_ivf_assign().strip() + " SELECT vec_id, cell FROM assign"
+
+
+def ann_topk_ivf_oracle() -> str:
+    dot = _sql_dot("q.embedding", "c.embedding")
+    nq = _sql_dot("q.embedding", "q.embedding")
+    nc = _sql_dot("c.embedding", "c.embedding")
+    return f"""
+WITH {_sql_ivf_assign().strip()},
+withc AS (SELECT e.vec_id, e.embedding, a.cell FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({dot} / (sqrt({nq}) * sqrt({nc})), 6) AS score
+  FROM withc q JOIN withc c ON q.cell = c.cell
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 # --------------------------------------------- embedding near-dup
 
 def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:

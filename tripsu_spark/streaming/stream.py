@@ -54,6 +54,53 @@ def stream_entity_link_counts(
     )
 
 
+LINK_STATE_SCHEMA = "entity_ids array<string>, counts array<bigint>"
+LINK_OUTPUT_SCHEMA = "conv_id string, entity_id string, mention_count bigint"
+
+
+def stream_entity_link_state(transcripts: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``:
+    per-conversation RUNNING entity-link counts across micro-batches
+    (unlike the windowed variant above, state lives for the whole
+    conversation: a mention in batch 7 increments the count started in
+    batch 1). Emits the updated (conv_id, entity_id, mention_count)
+    rows each batch — use outputMode("update")."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    user_re = re.compile(_MENTION_USER)
+
+    def update(key, pdfs, state: GroupState):
+        counts: dict[str, int] = {}
+        if state.exists:
+            ids, ns = state.get
+            counts = dict(zip(ids, ns))
+        touched = set()
+        for pdf in pdfs:
+            for text in pdf["text"]:
+                for uid in user_re.findall(text or ""):
+                    counts[uid] = counts.get(uid, 0) + 1
+                    touched.add(uid)
+        state.update((list(counts.keys()), list(counts.values())))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]] * len(touched),
+                "entity_id": sorted(touched),
+                "mention_count": [counts[e] for e in sorted(touched)],
+            }
+        )
+
+    return transcripts.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=LINK_OUTPUT_SCHEMA,
+        stateStructType=LINK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_parquet(
     spark: SparkSession, in_path: str, out_path: str, checkpoint: str
 ):
