@@ -84,6 +84,17 @@ def q_masked_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return masked.select(*TRIPLE_COLS, "mask_subject", "mask_object").distinct()
 
 
+def q_masked_triples_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same rules with invert: true (rules.rs:158-163)."""
+    import dataclasses
+
+    triples = extract_triples(_transcripts(spark, sf_dir))
+    index_df = build_type_index(triples)
+    rules = dataclasses.replace(default_rules(), invert=True)
+    masked = apply_masks(triples, index_df, rules)
+    return masked.select(*TRIPLE_COLS, "mask_subject", "mask_object").distinct()
+
+
 def q_pseudo_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = extract_triples(_transcripts(spark, sf_dir))
     index_df = build_type_index(triples)
@@ -135,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_index_pairs": q_type_index_pairs,
         "type_index_sizes": q_type_index_sizes,
         "masked_triples": q_masked_triples,
+        "masked_triples_inverted": q_masked_triples_inverted,
         "pseudo_triples": q_pseudo_triples,
         "ntriples_lines": q_ntriples_lines,
         "depseudo_roundtrip": q_depseudo_roundtrip,
@@ -168,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "type_index_pairs": oracle.q_type_index_pairs(),
         "type_index_sizes": oracle.q_type_index_sizes(),
         "masked_triples": oracle.q_masked_triples(),
+        "masked_triples_inverted": oracle.q_masked_triples_inverted(),
         "pseudo_triples": oracle.q_pseudo_triples(),
         "ntriples_lines": oracle.q_ntriples_lines(),
         # round-trip inverse == identity: the oracle is the extraction

@@ -260,6 +260,17 @@ def q_masked_triples() -> str:
     )
 
 
+def q_masked_triples_inverted() -> str:
+    """`invert: true` (rules.rs:158-163) — the YAML's only combinator:
+    both masks negated."""
+    return _with_triples(
+        ", " + INDEX_PAIRS_CTE.strip() + ", " + MASKED_CTE.strip()
+        + " SELECT DISTINCT s_kind, s_value, predicate, o_kind, o_value,"
+        " o_datatype, o_lang, NOT mask_subject AS mask_subject,"
+        " NOT mask_object AS mask_object FROM masked"
+    )
+
+
 def q_pseudo_triples() -> str:
     salt = bench_salt()
     return _with_triples(
