@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_links": q_entity_links,
         # --- training-data pipeline ops: dedup ---
         "dedup_exact": lambda s, d: dedup.dedup_exact(_documents(s, d)),
+        "dedup_conversations": lambda s, d: dedup.dedup_conversations_exact(_transcripts(s, d)),
         "dedup_minhash_lsh": lambda s, d: dedup.dedup_minhash_lsh(_documents(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.dedup_ngram_jaccard(_documents(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_documents(s, d)),
@@ -187,6 +188,9 @@ def oracle_sql() -> dict[str, str]:
         "depseudo_roundtrip": oracle.q_extract_triples(),
         "entity_links": oracle.q_entity_links(),
         "dedup_exact": dedup.dedup_exact_oracle(),
+        "dedup_conversations": dedup.dedup_conversations_exact_oracle(
+            oracle.TRANSCRIPTS_CTE
+        ),
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh_oracle(),
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
         "dedup_simhash": dedup.simhash_oracle(),

@@ -251,6 +251,52 @@ WHERE i.inter / (sa.n + sb.n - i.inter) >= {NGRAM_JACCARD_MIN}
 """
 
 
+# ----------------------------------------- conversation-level dedup
+
+def conversation_text(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, text): turns concatenated in turn order — the
+    canonical conversation rendering used for conversation dedup."""
+    return (
+        transcripts.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("turn_idx"), F.col("text")))
+                    ),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+
+
+def dedup_conversations_exact(transcripts: DataFrame) -> DataFrame:
+    """Exact conversation dedup: md5 over the ordered turn rendering;
+    keeps the lexicographically-first conv_id per digest."""
+    return (
+        conversation_text(transcripts)
+        .select(F.col("conv_id"), F.md5(F.col("text")).alias("conv_hash"))
+        .groupBy("conv_hash")
+        .agg(F.min("conv_id").alias("keep_conv"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def dedup_conversations_exact_oracle(transcripts_cte: str) -> str:
+    """Oracle over the shared transcripts CTE (plans/oracle.py)."""
+    return f"""
+WITH {transcripts_cte.strip()},
+conv_text AS (
+  SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS text
+  FROM transcripts GROUP BY conv_id
+)
+SELECT md5(text) AS conv_hash, MIN(conv_id) AS keep_conv,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM conv_text GROUP BY md5(text)
+"""
+
+
 # ------------------------------------------------------------ simhash
 
 def _hex_char_val(c: Column) -> Column:
