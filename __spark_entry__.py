@@ -155,8 +155,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: dedup.dedup_exact(_documents(s, d)),
         "dedup_conversations": lambda s, d: dedup.dedup_conversations_exact(_transcripts(s, d)),
         "dedup_minhash_lsh": lambda s, d: dedup.dedup_minhash_lsh(_documents(s, d)),
+        "dedup_minhash_lsh_128": lambda s, d: dedup.dedup_minhash_lsh(
+            _documents(s, d), dedup.NUM_HASHES_PROD, dedup.BAND_SIZE_PROD
+        ),
         "dedup_ngram_jaccard": lambda s, d: dedup.dedup_ngram_jaccard(_documents(s, d)),
+        "dedup_clusters": lambda s, d: dedup.dedup_clusters(_documents(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_documents(s, d)),
+        "dedup_simhash_64": lambda s, d: dedup.simhash(_documents(s, d), dedup.SIMHASH_BITS_PROD),
+        "dedup_conversations_bounded": lambda s, d: dedup.dedup_conversations_bounded(
+            _transcripts(s, d)
+        ),
         "dedup_embedding_cosine": lambda s, d: similarity.dedup_embedding_cosine(_embeddings(s, d)),
         "dedup_embedding_cosine_lsh": lambda s, d: similarity.dedup_embedding_cosine_lsh(_embeddings(s, d)),
         # --- similarity search ---
@@ -194,8 +202,16 @@ def oracle_sql() -> dict[str, str]:
             oracle.TRANSCRIPTS_CTE
         ),
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh_oracle(),
+        "dedup_minhash_lsh_128": dedup.dedup_minhash_lsh_oracle(
+            dedup.NUM_HASHES_PROD, dedup.BAND_SIZE_PROD
+        ),
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_oracle(),
+        "dedup_clusters": dedup.dedup_clusters_oracle(),
         "dedup_simhash": dedup.simhash_oracle(),
+        "dedup_simhash_64": dedup.simhash_oracle(dedup.SIMHASH_BITS_PROD),
+        "dedup_conversations_bounded": dedup.dedup_conversations_bounded_oracle(
+            oracle.TRANSCRIPTS_CTE
+        ),
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine_oracle(),
         "dedup_embedding_cosine_lsh": similarity.dedup_embedding_cosine_lsh_oracle(),
         "ann_cosine_topk": similarity.ann_topk_oracle(),

@@ -63,3 +63,85 @@ def test_simhash_shape_and_similarity(spark, docs):
     assert got[0] == got[1]
     ham = lambda x, y: sum(a != b for a, b in zip(x, y))  # noqa: E731
     assert ham(got[0], got[2]) <= ham(got[0], got[3])
+
+
+def test_minhash_lsh_production_params(spark, docs):
+    """128-hash / 16-band configuration (the sizes real pipelines run,
+    round-1 verdict item 3): identical dups must estimate 1.0 and the
+    estimate must track the exact Jaccard within MinHash error."""
+    pairs = {
+        (r["a"], r["b"]): r["est_jaccard"]
+        for r in dedup.dedup_minhash_lsh(
+            docs, dedup.NUM_HASHES_PROD, dedup.BAND_SIZE_PROD
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    if (0, 2) in pairs:  # exact Jaccard(0,2) = 0.75; 128 hashes -> ±~0.12
+        assert abs(pairs[(0, 2)] - 0.75) < 0.15
+    assert (0, 3) not in pairs
+
+
+def test_simhash_64_bits(spark, docs):
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, dedup.SIMHASH_BITS_PROD).collect()}
+    assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in got.values())
+    assert got[0] == got[1]
+    ham = lambda x, y: sum(a != b for a, b in zip(x, y))  # noqa: E731
+    assert ham(got[0], got[2]) < ham(got[0], got[3])
+
+
+def _conv_rows():
+    # conv-a == conv-b (same turns, same order); conv-c = same turns,
+    # REVERSED order (must NOT collide); conv-hot is pathologically long.
+    rows = []
+    for conv, order in (("conv-a", False), ("conv-b", False), ("conv-c", True)):
+        texts = ["hello", "world", "again"]
+        if order:
+            texts = list(reversed(texts))
+        for i, txt in enumerate(texts):
+            rows.append((conv, i, "user", txt, None, None))
+    rows += [("conv-hot", i, "user", f"turn {i} " + "x" * 200, None, None) for i in range(5000)]
+    return rows
+
+
+def test_dedup_conversations_bounded_matches_exact(spark):
+    """The O(1)-state digest dedup must group conversations exactly like
+    the full-rendering operator — including a 5000-turn conversation the
+    collect_list path would have buffered wholesale (verdict item 5)."""
+    t = spark.createDataFrame(
+        _conv_rows(),
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    bounded = {r["keep_conv"]: r["n_dups"] for r in dedup.dedup_conversations_bounded(t).collect()}
+    exact = {r["keep_conv"]: r["n_dups"] for r in dedup.dedup_conversations_exact(t).collect()}
+    assert bounded == exact == {"conv-a": 2, "conv-c": 1, "conv-hot": 1}
+
+
+def test_bounded_digest_is_order_sensitive(spark):
+    t = spark.createDataFrame(
+        [("x", 0, "u", "p", None, None), ("x", 1, "u", "q", None, None),
+         ("y", 0, "u", "q", None, None), ("y", 1, "u", "p", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = dedup.dedup_conversations_bounded(t).collect()
+    assert len(out) == 2  # swapped turn order -> different digests
+
+
+def test_dedup_clusters_connected_components(spark, docs):
+    """0-1 exact dups, 2 near-dups with both -> one cluster with
+    canonical 0; 3 and 4 are singletons. Transitivity must hold even
+    when two members only connect through a third."""
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(docs).collect()}
+    assert got[0] == got[1] == 0
+    assert got[2] in (0, 2)  # 2 joins the cluster iff LSH pairs it
+    assert got[3] == 3 and got[4] == 4
+    # chain fixture: x-y and y-z pair but x-z never share a band
+    rows = [
+        (10, "aa bb cc dd ee ff gg hh", "en", "s", 10),
+        (11, "aa bb cc dd ee ff gg zz", "en", "s", 10),
+        (12, "qq bb cc dd ee ff gg zz", "en", "s", 10),
+    ]
+    chain = spark.createDataFrame(rows, COLS)
+    labels = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(chain).collect()}
+    pairs = {(r["a"], r["b"]) for r in dedup.dedup_minhash_lsh(chain).select("a", "b").collect()}
+    if (10, 11) in pairs and (11, 12) in pairs:
+        assert labels[10] == labels[11] == labels[12] == 10

@@ -95,3 +95,31 @@ def test_pass2_joins_use_hash_join_not_nested_loop(spark, tmp_path):
     plan = plan_of(out)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_embedding_neardup_lsh_is_equi_join(spark):
+    """The bucketed near-dup must plan equi-joins (shuffle/broadcast
+    hash or sort-merge) — never the BroadcastNestedLoopJoin the exact
+    all-pairs baseline pays (round-1 verdict item 1)."""
+    from tripsu_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = plan_of(similarity.dedup_embedding_cosine_lsh(emb))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # and the exact baseline is exactly the nested-loop it claims to be
+    exact_plan = plan_of(similarity.dedup_embedding_cosine(emb))
+    assert "BroadcastNestedLoopJoin" in exact_plan or "CartesianProduct" in exact_plan
+
+
+def test_minhash_signature_stage_is_shuffle_free(spark):
+    """Signatures (even at 128 hashes) are per-row expressions over one
+    scan — any Exchange here would shuffle document text."""
+    from tripsu_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = docs.select(
+        "doc_id", dedup.minhash_signature(F.col("text"), dedup.NUM_HASHES_PROD).alias("sig")
+    )
+    plan = plan_of(sigs)
+    assert "Exchange" not in plan

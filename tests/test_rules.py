@@ -102,3 +102,62 @@ def test_empty_rules():
 def test_loads_reference_fixture_file():
     rules = Rules.load("/root/reference/tests/data/rules.yaml")
     assert "<http://example.org/Person>" in rules.node_of_type
+
+
+# --- RFC 3987 fail-fast parity (reference uris.rs:47-50 via sophia_iri) ---
+
+VALID_IRIS = [
+    "http://example.org/",
+    "http://example.org",
+    "http://example.org/Person#x",
+    "urn:uuid:6e8bc430-9c3a-11d9-9669-0800200c9a66",
+    "a:b",
+    "scheme:",
+    "http://user:pw@host:8080/p?q=1#f",
+    "http://127.0.0.1/",
+    "http://[2001:db8::1]/x",
+    "http://[::1]:80/",
+    "http://例え.jp/パス",
+    "mailto:x@y.org",
+    "file:///tmp/x",
+    "http://example.org/a%20b",
+    "ftp://ftp.is.co.za/rfc/rfc1808.txt",
+]
+
+INVALID_IRIS = [
+    "",
+    "http://exa mple.org/",
+    "1http://x",
+    "://missing",
+    "http",
+    "http://example.org/<>",
+    "http://example.org/\\",
+    "http://%zz/",
+    "http://[not-ipv6]/",
+    "ht tp://x",
+    "http://example.org/{}",
+    "http://example.org/a b",
+    'http://example.org/"q"',
+    "http://example.org/^",
+    "http://example.org/|a",
+]
+
+
+@pytest.mark.parametrize("iri", VALID_IRIS)
+def test_valid_full_iri_accepted(iri):
+    rules = Rules.from_dict({"nodes": {"of_type": [f"<{iri}>"]}})
+    assert f"<{iri}>" in rules.node_of_type
+
+
+@pytest.mark.parametrize("iri", INVALID_IRIS)
+def test_invalid_full_iri_fails_fast(iri):
+    """The reference panics at config load on any RFC 3987 violation
+    (io.rs:46-55); we must reject the same strings at load time."""
+    with pytest.raises(RuleConfigError):
+        Rules.from_dict({"nodes": {"of_type": [f"<{iri}>"]}})
+
+
+@pytest.mark.parametrize("iri", INVALID_IRIS)
+def test_invalid_prefix_iri_fails_fast(iri):
+    with pytest.raises(RuleConfigError):
+        PrefixMap({"ex": f"<{iri}>"})

@@ -25,11 +25,19 @@ from pyspark.sql import functions as F
 # ------------------------------------------------------------ params
 
 SHINGLE_K = 3          # word shingles
-NUM_HASHES = 12        # minhash signature length
+NUM_HASHES = 12        # minhash signature length (fast-gate params)
 BAND_SIZE = 2          # rows per LSH band -> 6 bands
 EST_JACCARD_MIN = 0.5  # candidate-pair threshold on signature agreement
 NGRAM_JACCARD_MIN = 0.3
 SIMHASH_BITS = 16
+# Production parameters (the classic 128-hash / 16-band MinHash-LSH
+# configuration and a 64-bit SimHash); every operator below is
+# parametrized, and both parameter sets have their own oracle-checked
+# queries() entries — the toy set keeps the gate fast, the production
+# set proves the operators at the sizes real pipelines run.
+NUM_HASHES_PROD = 128
+BAND_SIZE_PROD = 8     # -> 16 bands, s-curve threshold ~ (1/16)^(1/8) ~ 0.71
+SIMHASH_BITS_PROD = 64
 
 
 def _tokens(text: Column) -> Column:
@@ -79,8 +87,8 @@ def dedup_exact_oracle() -> str:
 
 # ---------------------------------------------------- minhash + LSH
 
-def minhash_signature(text: Column) -> Column:
-    """array<string> of NUM_HASHES minhashes: min over shingles of
+def minhash_signature(text: Column, num_hashes: int = NUM_HASHES) -> Column:
+    """array<string> of ``num_hashes`` minhashes: min over shingles of
     md5('<j>:' || shingle). Lexicographic min over hex == a valid
     min-wise hash family; portable across engines."""
     sh = _shingles(text)
@@ -92,22 +100,37 @@ def minhash_signature(text: Column) -> Column:
         seed = F.lit(f"{j}:")
         return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(seed, s))))
 
-    return F.array(*[minhash_j(j) for j in range(NUM_HASHES)])
+    return F.array(*[minhash_j(j) for j in range(num_hashes)])
 
 
-def _sql_minhash(text_expr: str) -> str:
-    sh = _sql_shingles(text_expr)
-    mins = ", ".join(
-        f"list_min(list_transform({sh}, s -> md5('{j}:' || s)))"
-        for j in range(NUM_HASHES)
+def minhash_sig_frame(documents: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, sig: array<string>) for every shingle-able doc.
+
+    Built in STAGED projections (shingles column -> sig column) rather
+    than one nested expression: inlining the num_hashes-wide signature
+    into every downstream reference multiplies the expression tree
+    (16 bands × 128 refs × shingle subtree at production params) and
+    OOMs codegen. Catalyst's CollapseProject keeps multi-referenced
+    non-cheap projections as real stages, so each tree stays linear."""
+    shingled = documents.select(
+        F.col("doc_id"), _shingles(F.col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+    def mh(j: int):
+        seed = F.lit(f"{j}:")
+        return F.array_min(F.transform(F.col("sh"), lambda s: F.md5(F.concat(seed, s))))
+
+    return shingled.select(
+        "doc_id", F.array(*[mh(j) for j in range(num_hashes)]).alias("sig")
     )
-    return f"[{mins}]"
 
 
-def minhash_bands(documents: DataFrame) -> DataFrame:
-    """(doc_id, band_idx, band_hash) — LSH bucketing rows."""
-    sig = minhash_signature(F.col("text"))
-    n_bands = NUM_HASHES // BAND_SIZE
+def minhash_bands(documents: DataFrame, num_hashes: int = NUM_HASHES,
+                  band_size: int = BAND_SIZE) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — LSH bucketing rows. Docs too
+    short to shingle are excluded (the oracle's NULL || NULL band
+    concat excludes them implicitly)."""
+    n_bands = num_hashes // band_size
     bands = F.array(
         *[
             F.struct(
@@ -116,8 +139,8 @@ def minhash_bands(documents: DataFrame) -> DataFrame:
                     F.concat_ws(
                         "|",
                         *[
-                            F.element_at(sig, b * BAND_SIZE + r + 1)
-                            for r in range(BAND_SIZE)
+                            F.element_at(F.col("sig"), b * band_size + r + 1)
+                            for r in range(band_size)
                         ],
                     )
                 ).alias("band_hash"),
@@ -125,40 +148,50 @@ def minhash_bands(documents: DataFrame) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    # Docs too short to shingle have all-NULL signatures: exclude them
-    # (the oracle's NULL || NULL band concat excludes them implicitly).
     return (
-        documents.filter(F.size(_shingles(F.col("text"))) > 0)
+        minhash_sig_frame(documents, num_hashes)
         .select(F.col("doc_id"), F.explode(bands).alias("b"))
         .select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
     )
 
 
-def _sql_bands() -> str:
+def _sql_sigs(num_hashes: int) -> str:
+    """CTE: sigs(doc_id, sig) — shingles computed ONCE per row, then
+    ``num_hashes`` seeded mins over the shared list (keeps the SQL
+    linear in num_hashes instead of quadratic at 128 hashes)."""
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{j}:' || s)))"
+        for j in range(num_hashes)
+    )
+    return (
+        "shingled AS (SELECT doc_id, " + _sql_shingles("text")
+        + " AS sh FROM documents),\n"
+        f"sigs AS (SELECT doc_id, [{mins}] AS sig FROM shingled)"
+    )
+
+
+def _sql_bands(num_hashes: int = NUM_HASHES, band_size: int = BAND_SIZE) -> str:
     """CTE: bands(doc_id, band_idx, band_hash) over documents."""
-    n_bands = NUM_HASHES // BAND_SIZE
+    n_bands = num_hashes // band_size
     rows = []
     for b in range(n_bands):
         parts = " || '|' || ".join(
-            f"sig[{b * BAND_SIZE + r + 1}]" for r in range(BAND_SIZE)
+            f"sig[{b * band_size + r + 1}]" for r in range(band_size)
         )
         rows.append(
             f"SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_hash FROM sigs"
         )
-    return (
-        "sigs AS (SELECT doc_id, " + _sql_minhash("text") + " AS sig FROM documents),\n"
-        "bands AS (" + " UNION ALL ".join(rows) + ")"
-    )
+    return _sql_sigs(num_hashes) + ",\nbands AS (" + " UNION ALL ".join(rows) + ")"
 
 
-def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
+def dedup_minhash_lsh(documents: DataFrame, num_hashes: int = NUM_HASHES,
+                      band_size: int = BAND_SIZE,
+                      min_est: float = EST_JACCARD_MIN) -> DataFrame:
     """Candidate near-dup pairs: bucket-join on LSH bands, then verify
-    on signature agreement >= EST_JACCARD_MIN. Output (a, b, est) with
+    on signature agreement >= ``min_est``. Output (a, b, est) with
     a < b, est rounded to avoid cross-engine float noise."""
-    sigs = documents.select(
-        F.col("doc_id"), minhash_signature(F.col("text")).alias("sig")
-    )
-    bands = minhash_bands(documents)
+    sigs = minhash_sig_frame(documents, num_hashes)
+    bands = minhash_bands(documents, num_hashes, band_size)
     pairs = (
         bands.alias("x")
         .join(bands.alias("y"), on=["band_idx", "band_hash"], how="inner")
@@ -168,20 +201,22 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
     )
     est = (
         F.size(F.filter(F.zip_with(F.col("sa"), F.col("sb"), lambda p, q: p == q), lambda v: v))
-        / F.lit(NUM_HASHES)
+        / F.lit(num_hashes)
     )
     return (
         pairs.join(sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sa")), "a")
         .join(sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sb")), "b")
         .withColumn("est_jaccard", F.round(est, 6))
-        .filter(F.col("est_jaccard") >= EST_JACCARD_MIN)
+        .filter(F.col("est_jaccard") >= min_est)
         .select("a", "b", "est_jaccard")
     )
 
 
-def dedup_minhash_lsh_oracle() -> str:
+def dedup_minhash_lsh_oracle(num_hashes: int = NUM_HASHES,
+                             band_size: int = BAND_SIZE,
+                             min_est: float = EST_JACCARD_MIN) -> str:
     return f"""
-WITH {_sql_bands()},
+WITH {_sql_bands(num_hashes, band_size)},
 pairs AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM bands x JOIN bands y
@@ -189,13 +224,13 @@ pairs AS (
    AND x.doc_id < y.doc_id
 )
 SELECT p.a, p.b,
-  ROUND(len(list_filter(range(1, {NUM_HASHES} + 1),
-        i -> sx.sig[i] = sy.sig[i])) / {NUM_HASHES}.0, 6) AS est_jaccard
+  ROUND(len(list_filter(range(1, {num_hashes} + 1),
+        i -> sx.sig[i] = sy.sig[i])) / {num_hashes}.0, 6) AS est_jaccard
 FROM pairs p
 JOIN sigs sx ON sx.doc_id = p.a
 JOIN sigs sy ON sy.doc_id = p.b
-WHERE len(list_filter(range(1, {NUM_HASHES} + 1),
-      i -> sx.sig[i] = sy.sig[i])) / {NUM_HASHES}.0 >= {EST_JACCARD_MIN}
+WHERE len(list_filter(range(1, {num_hashes} + 1),
+      i -> sx.sig[i] = sy.sig[i])) / {num_hashes}.0 >= {min_est}
 """
 
 
@@ -303,17 +338,18 @@ def _hex_char_val(c: Column) -> Column:
     return F.instr(F.lit("0123456789abcdef"), c) - 1
 
 
-def simhash(documents: DataFrame) -> DataFrame:
-    """SIMHASH_BITS-bit SimHash over word tokens.
+def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """``bits``-bit SimHash over word tokens (md5 is 128 bits, so any
+    bits <= 128 works; 64 is the production width).
 
     bit_i(doc) = 1 iff sum over tokens of (bit_i(md5(token)) ? 1 : -1)
-    > 0, using the first SIMHASH_BITS/4 hex chars of the token md5.
+    > 0, using the first bits/4 hex chars of the token md5.
     Emitted as a bit string (e.g. '1010...') — portable everywhere."""
     toks = documents.select(
         F.col("doc_id"), F.explode(_tokens(F.col("text"))).alias("tok")
     ).withColumn("h", F.md5(F.col("tok")))
     cols = []
-    for i in range(SIMHASH_BITS):
+    for i in range(bits):
         char_idx = i // 4 + 1  # hex char position, 1-based
         bit_in_char = i % 4
         val = _hex_char_val(F.substring(F.col("h"), char_idx, 1))
@@ -321,21 +357,21 @@ def simhash(documents: DataFrame) -> DataFrame:
         cols.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{i}"))
     summed = toks.groupBy("doc_id").agg(*cols)
     bitstr = F.concat(
-        *[F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(SIMHASH_BITS)]
+        *[F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(bits)]
     )
     return summed.select("doc_id", bitstr.alias("simhash"))
 
 
-def simhash_oracle() -> str:
+def simhash_oracle(bits: int = SIMHASH_BITS) -> str:
     sums = []
-    for i in range(SIMHASH_BITS):
+    for i in range(bits):
         char_idx = i // 4 + 1
         bit_in_char = i % 4
         val = f"(strpos('0123456789abcdef', substr(h, {char_idx}, 1)) - 1)"
         bit = f"(CAST(floor({val} / {2 ** bit_in_char}) AS BIGINT) % 2)"
         sums.append(f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{i}")
-    bits = " || ".join(
-        f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(SIMHASH_BITS)
+    bits_expr = " || ".join(
+        f"CASE WHEN s{i} > 0 THEN '1' ELSE '0' END" for i in range(bits)
     )
     return f"""
 WITH toks AS (
@@ -343,5 +379,148 @@ WITH toks AS (
   FROM documents
 ),
 summed AS (SELECT doc_id, {", ".join(sums)} FROM toks GROUP BY doc_id)
-SELECT doc_id, {bits} AS simhash FROM summed
+SELECT doc_id, {bits_expr} AS simhash FROM summed
+"""
+
+
+# -------------------------------------- near-dup clusters (canonical doc)
+
+def dedup_clusters(documents: DataFrame, num_hashes: int = NUM_HASHES,
+                   band_size: int = BAND_SIZE, min_est: float = EST_JACCARD_MIN,
+                   max_iters: int = 25) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over the MinHash-LSH
+    near-dup graph; cluster_id = min doc_id in the component (the doc a
+    dedup pipeline keeps). Singleton docs are their own cluster.
+
+    Algorithm: HashMin label propagation — iterate
+    ``label[v] <- min(label[v], min over neighbors of label[u])`` until
+    a fixpoint. Each iteration is ONE equi-join + ONE aggregate, both
+    keyed on doc ids; converges in O(component diameter) rounds (dup
+    clusters are shallow in practice). The per-iteration driver sync is
+    a single count — the same shape Spark GraphX/GraphFrames CC uses;
+    large-star/small-star would halve rounds if diameters ever grow.
+    Labels persist per round (MEMORY_AND_DISK) and unpersist after the
+    next round materializes."""
+    from pyspark import StorageLevel
+
+    pairs = dedup_minhash_lsh(documents, num_hashes, band_size, min_est).select("a", "b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = documents.select(
+        F.col("doc_id"), F.col("doc_id").alias("label")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.select(F.col("doc_id").alias("b"), "label"), "b")
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels.unpersist()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters_oracle(num_hashes: int = NUM_HASHES,
+                          band_size: int = BAND_SIZE,
+                          min_est: float = EST_JACCARD_MIN) -> str:
+    """Transitive closure via recursive CTE: min reachable doc_id ==
+    component minimum (edges are symmetric)."""
+    pairs_sql = dedup_minhash_lsh_oracle(num_hashes, band_size, min_est).strip()
+    return f"""
+WITH RECURSIVE lsh AS ({pairs_sql}),
+edges AS (SELECT a, b FROM lsh UNION ALL SELECT b AS a, a AS b FROM lsh),
+reach(src, dst) AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
+# ------------------------------ bounded conversation dedup (scale path)
+
+# The exact operator above renders the full conversation per group
+# (collect_list) — unbounded aggregation state: one pathological
+# million-turn conversation concentrates its whole text in a single
+# buffer (round-1 verdict item 5). The bounded variant never holds more
+# than 5 longs per group: each turn contributes four 30-bit chunks of
+# md5(turn_idx || ':' || text) plus a count, combined by plain SUM.
+# Order sensitivity comes from turn_idx being hashed INSIDE the chunk
+# (turn_idx is unique within a conversation, so equal digests <=> the
+# same text at the same positions <=> equal ordered renderings).
+# 30-bit chunks keep SUM overflow-free up to 2^33 turns per
+# conversation under Spark's ANSI arithmetic.
+
+def _turn_chunks() -> list[Column]:
+    h = F.md5(F.concat(F.col("turn_idx").cast("string"), F.lit(":"), F.col("text")))
+    out = []
+    for c in range(4):
+        hexpart = F.substring(h, 1 + 8 * c, 8)  # 8 hex chars = 32 bits
+        # conv(hex, 16, 10) -> decimal string; mask to 30 bits for headroom
+        out.append((F.conv(hexpart, 16, 10).cast("long") % F.lit(1 << 30)).alias(f"c{c}"))
+    return out
+
+
+def dedup_conversations_bounded(transcripts: DataFrame) -> DataFrame:
+    """(digest, keep_conv, n_dups) — conversation-level exact dedup with
+    O(1) per-group state: a single hash-aggregate over turns, then a
+    dedup aggregate over the fixed-width digests. No collect_list, no
+    per-conversation text materialization anywhere."""
+    per_turn = transcripts.select(F.col("conv_id"), F.col("turn_idx"), F.col("text"))
+    digests = (
+        per_turn.select("conv_id", *_turn_chunks())
+        .groupBy("conv_id")
+        .agg(
+            *[F.sum(f"c{c}").alias(f"s{c}") for c in range(4)],
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+        .select(
+            "conv_id",
+            F.concat_ws(
+                "-",
+                *[F.col(f"s{c}").cast("string") for c in range(4)],
+                F.col("n_turns").cast("string"),
+            ).alias("digest"),
+        )
+    )
+    return digests.groupBy("digest").agg(
+        F.min("conv_id").alias("keep_conv"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def dedup_conversations_bounded_oracle(transcripts_cte: str) -> str:
+    chunks = ", ".join(
+        "CAST(('0x' || substr(md5(CAST(turn_idx AS VARCHAR) || ':' || text), "
+        f"{1 + 8 * c}, 8))::UBIGINT % {1 << 30} AS BIGINT) AS c{c}"
+        for c in range(4)
+    )
+    sums = ", ".join(f"SUM(c{c}) AS s{c}" for c in range(4))
+    concat = " || '-' || ".join(
+        [f"CAST(s{c} AS VARCHAR)" for c in range(4)] + ["CAST(n_turns AS VARCHAR)"]
+    )
+    return f"""
+WITH {transcripts_cte.strip()},
+chunked AS (SELECT conv_id, {chunks} FROM transcripts),
+digests AS (
+  SELECT conv_id, {concat} AS digest FROM (
+    SELECT conv_id, {sums}, COUNT(*) AS n_turns FROM chunked GROUP BY conv_id
+  )
+)
+SELECT digest, MIN(conv_id) AS keep_conv, CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM digests GROUP BY digest
 """

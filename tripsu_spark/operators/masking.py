@@ -54,7 +54,10 @@ def prune_index_for_rules(index_df: DataFrame, relevant_types) -> DataFrame:
 
 
 def join_types(
-    triples: DataFrame, index_df: DataFrame, rules: Rules | None = None
+    triples: DataFrame,
+    index_df: DataFrame,
+    rules: Rules | None = None,
+    key_fn=None,
 ) -> DataFrame:
     """Attach subj_types / obj_types arrays via two left-outer joins.
 
@@ -65,7 +68,13 @@ def join_types(
     forced: AQE converts to a broadcast join at runtime when the pruned
     side is small (the common case), and keeps a shuffled join when the
     index is genuinely huge — exactly the 10^12-turn behavior we want.
+
+    ``key_fn`` transforms the triples-side serialized term into the
+    index's key space (identity for the native string-keyed parquet
+    index; ``rust_hash_key`` for the reference's JSON index).
     """
+    if key_fn is None:
+        key_fn = lambda c: c  # noqa: E731
     subj_side, obj_side = index_df, index_df
     if rules is not None:
         subj_side = prune_index_for_rules(
@@ -80,8 +89,8 @@ def join_types(
         F.col("subject_key").alias("_obj_key"), F.col("types").alias("obj_types")
     )
     return (
-        triples.withColumn("_subj_key", subject_key())
-        .withColumn("_obj_key", object_key())
+        triples.withColumn("_subj_key", key_fn(subject_key()))
+        .withColumn("_obj_key", key_fn(object_key()))
         .join(subj_index, on="_subj_key", how="left")
         .join(obj_index, on="_obj_key", how="left")
     )
@@ -136,9 +145,11 @@ def build_mask_exprs(rules: Rules) -> tuple[Column, Column]:
     return mask_s, mask_o
 
 
-def apply_masks(triples: DataFrame, index_df: DataFrame, rules: Rules) -> DataFrame:
+def apply_masks(
+    triples: DataFrame, index_df: DataFrame, rules: Rules, key_fn=None
+) -> DataFrame:
     """triples + index + rules -> triples with mask_subject/mask_object."""
-    joined = join_types(triples, index_df, rules)
+    joined = join_types(triples, index_df, rules, key_fn=key_fn)
     mask_s, mask_o = build_mask_exprs(rules)
     return joined.withColumn("mask_subject", mask_s).withColumn(
         "mask_object", mask_o

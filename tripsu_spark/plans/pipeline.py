@@ -28,9 +28,12 @@ def pseudonymize(
     index_df: DataFrame,
     rules: Rules,
     hasher: Pseudonymizer,
+    key_fn=None,
 ) -> DataFrame:
-    """Pass 2 core: mask + conditional rewrite (pseudo.rs:47-77)."""
-    masked = apply_masks(triples, index_df, rules)
+    """Pass 2 core: mask + conditional rewrite (pseudo.rs:47-77).
+    ``key_fn`` maps serialized terms into the index's key space (see
+    operators/masking.py::join_types)."""
+    masked = apply_masks(triples, index_df, rules, key_fn=key_fn)
     rewritten = pseudo_triple(
         masked, F.col("mask_subject"), F.col("mask_object"), hasher
     )
@@ -42,15 +45,23 @@ def run_two_pass(
     rules: Rules,
     hasher: Pseudonymizer,
     extractor=extract_triples,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Full pipeline: returns (type_index, pseudonymized_triples).
 
-    The extracted triple frame feeds both passes; callers running at
-    scale should persist it (or write the raw graph table first) so
-    extraction runs once — plans/lineage.py's bucketed runner does
-    exactly that per bucket.
+    The extracted triple frame feeds pass 1 (index aggregate) AND pass 2
+    (mask joins), so by default it is persisted — otherwise extraction
+    re-runs once per consumer (round-1 verdict item 1). Callers that
+    materialize the graph table themselves (bench.py, the lineage
+    runner) pass ``persist=False`` and reuse their parquet instead.
+    The caller owns the unpersist (Spark evicts LRU if memory is tight;
+    MEMORY_AND_DISK spills rather than recomputes).
     """
     triples = extractor(transcripts)
+    if persist:
+        from pyspark import StorageLevel
+
+        triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
     index_df = build_type_index(triples)
     out = pseudonymize(triples, index_df, rules, hasher)
     return index_df, out

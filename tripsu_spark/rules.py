@@ -27,9 +27,6 @@ from dataclasses import dataclass, field
 import yaml
 
 _CURIE_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_.\-]*)?\:([^\s:/][^\s]*)$")
-# Pragmatic IRI check (sophia_iri validates RFC 3987; we enforce the
-# same intent: a scheme followed by scheme-specific part, no spaces).
-_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:[^\s<>\"{}|\\^`]*$")
 
 
 class RuleConfigError(ValueError):
@@ -37,7 +34,11 @@ class RuleConfigError(ValueError):
 
 
 def _validate_full_iri(iri: str) -> str:
-    if not _IRI_RE.match(iri):
+    # Full RFC 3987 grammar — the same production the reference's
+    # sophia_iri::Iri::new enforces (uris.rs:47-50); fail-fast parity.
+    from .functions.iri import is_valid_iri
+
+    if not is_valid_iri(iri):
         raise RuleConfigError(f"Invalid URI: {iri}")
     return iri
 

@@ -29,6 +29,11 @@ DEFAULTS = {
     # Smaller splits keep every core busy; AQE re-coalesces shuffles.
     "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
     "spark.sql.files.openCostInBytes": str(512 * 1024),
+    # v2 commits rename task output during (parallel) task commit
+    # instead of serially on the driver at job commit — the serial v1
+    # rename loop is pure fixed overhead that grows with file count and
+    # dilutes scaling on short jobs.
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
 }
 
 
