@@ -52,8 +52,11 @@ RDF_TYPE_PART = "type"
 
 def read_for_index(spark: SparkSession, graph_path: str) -> DataFrame:
     """Read ONLY the rdf:type partition of a stored graph table (the
-    partition-pruned pass-1 input; `.explain` shows PartitionFilters)."""
-    return (
+    partition-pruned pass-1 input; `.explain` shows PartitionFilters).
+    Works against both storage formats (plans/compact.py)."""
+    from .compact import maybe_expand
+
+    return maybe_expand(
         spark.read.parquet(graph_path)
         .filter(F.col("pred_part") == RDF_TYPE_PART)
         .drop("pred_part")
