@@ -105,6 +105,20 @@ def q_ntriples_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ntriples_lines(q_pseudo_triples(spark, sf_dir)).distinct()
 
 
+def q_ntriples_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 parser with a driver-visible oracle row: serialize the
+    extracted graph to N-Triples text, parse it back (sources/
+    ntriples.py — the reference's entire input surface, io.rs:24-43),
+    and return the parsed triples. Serialize-then-parse is identity on
+    terms (escapes round-trip), so the oracle is plain extraction."""
+    from tripsu_spark.sources.ntriples import parse_ntriples_lines
+
+    triples = dedupe_triples(extract_triples(_transcripts(spark, sf_dir)))
+    lines = ntriples_lines(triples).withColumnRenamed("line", "value")
+    parsed = parse_ntriples_lines(lines)
+    return parsed.filter(F.col("_error").isNull()).drop("_error")
+
+
 def q_depseudo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudonymize then invert via the (hash -> original) mapping;
     the oracle is the plain extraction — round-trip must be identity
@@ -149,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "masked_triples_inverted": q_masked_triples_inverted,
         "pseudo_triples": q_pseudo_triples,
         "ntriples_lines": q_ntriples_lines,
+        "ntriples_parse": q_ntriples_parse,
         "depseudo_roundtrip": q_depseudo_roundtrip,
         "entity_links": q_entity_links,
         # --- training-data pipeline ops: dedup ---
@@ -194,6 +209,8 @@ def oracle_sql() -> dict[str, str]:
         "masked_triples_inverted": oracle.q_masked_triples_inverted(),
         "pseudo_triples": oracle.q_pseudo_triples(),
         "ntriples_lines": oracle.q_ntriples_lines(),
+        # serialize-then-parse == identity: the oracle is the extraction
+        "ntriples_parse": oracle.q_extract_triples(),
         # round-trip inverse == identity: the oracle is the extraction
         "depseudo_roundtrip": oracle.q_extract_triples(),
         "entity_links": oracle.q_entity_links(),

@@ -31,7 +31,7 @@ from tripsu_spark.operators.extract import extract_triples  # noqa: E402
 from tripsu_spark.operators.index import build_type_index  # noqa: E402
 from tripsu_spark.plans.oracle import BENCH_SECRET  # noqa: E402
 from tripsu_spark.plans.pipeline import default_rules, pseudonymize  # noqa: E402
-from tripsu_spark.session import get_spark  # noqa: E402
+from tripsu_spark.session import FAST_WRITE_CONF, get_spark  # noqa: E402
 from tripsu_spark.sources.transcripts import transcripts_from_events  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -152,7 +152,9 @@ def flagship_rows_and_time(spark, sf_dir, workdir) -> tuple[int, float]:
 def run_default() -> dict:
     import tempfile
 
-    spark = get_spark(master=f"local[{CPUS}]", app_name="tripsu-bench")
+    spark = get_spark(
+        master=f"local[{CPUS}]", app_name="tripsu-bench", extra_conf=FAST_WRITE_CONF
+    )
     spark.sparkContext.setLogLevel("ERROR")
     workdir = tempfile.mkdtemp(prefix="tripsu-bench-")
     stages = pipeline_stages(spark, SF_DIR, workdir)
@@ -246,7 +248,7 @@ def run_scaling_one(cores: int) -> dict:
     container), shuffle partitions = 2 × cores."""
     import tempfile
 
-    extra = {}
+    extra = dict(FAST_WRITE_CONF)
     if SCALE_HEAP_PER_CORE_GB > 0:
         extra["spark.driver.memory"] = f"{cores * SCALE_HEAP_PER_CORE_GB}g"
     # Cores-proportional GC threads (on by default): a real N-core

@@ -31,7 +31,9 @@ Differences from the reference, by design (SURVEY.md):
 - IRIs with no '#'/'/' separator hash with an empty prefix instead of
   panicking (crypto.rs:51 divergence, documented);
 - malformed input lines go to OUT_DIR/_quarantine instead of
-  panicking, and are counted on stderr.
+  panicking, and are counted on stderr. In ``-o -`` mode there is no
+  surviving OUT_DIR, so the malformed lines themselves are emitted on
+  stderr (prefixed ``quarantine:``) rather than into the temp spool.
 
 Efficiency contract (round-1 verdict item 4): each subcommand runs the
 parse pipeline EXACTLY ONCE — the parsed frame is persisted, row counts
@@ -151,7 +153,15 @@ def cmd_pseudo(args) -> int:
     bad = parsed.filter(F.col("_error").isNotNull())
     n_bad = bad.count()
     if n_bad:
-        bad.select("_error").write.mode("overwrite").text(out_dir + "/_quarantine")
+        if stdout_mode:
+            # -o -: out_dir is a temp spool that gets deleted after the
+            # stream, so a file quarantine would be silently discarded —
+            # emit the malformed lines to stderr instead (stdout carries
+            # only clean triples, so piping stays composable).
+            for row in bad.select("_error").toLocalIterator():
+                print(f"quarantine: {row['_error']}", file=sys.stderr)
+        else:
+            bad.select("_error").write.mode("overwrite").text(out_dir + "/_quarantine")
         print(f"quarantined {n_bad} malformed lines", file=sys.stderr)
     parsed.unpersist()
 

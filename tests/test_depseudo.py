@@ -1,5 +1,6 @@
 """Round-trip de-pseudonymization as a dataframe operator."""
 
+from pathlib import Path
 import pytest
 
 from tripsu_spark.crypto import Pseudonymizer
@@ -10,8 +11,8 @@ from tripsu_spark.rules import Rules
 from tripsu_spark.sources.ntriples import read_ntriples
 
 SECRET = b"test-secret-0123456789abcdefghij"
-FIXTURE_NT = "/root/reference/tests/data/test.nt"
-FIXTURE_RULES = "/root/reference/tests/data/rules.yaml"
+FIXTURE_NT = str(Path(__file__).parent / "data" / "reference_test.nt")
+FIXTURE_RULES = str(Path(__file__).parent / "data" / "reference_rules.yaml")
 
 
 @pytest.mark.parametrize("algorithm", ["sha256", "blake3"])

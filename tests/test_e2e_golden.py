@@ -15,6 +15,7 @@ Also: round-trip de-pseudonymization — the (hash -> original) mapping
 recovered from the run inverts the pseudonymization exactly.
 """
 
+from pathlib import Path
 import pytest
 from pyspark.sql import functions as F
 
@@ -25,8 +26,8 @@ from tripsu_spark.rules import Rules
 from tripsu_spark.sources.ntriples import read_ntriples
 
 SECRET = b"test-secret-0123456789abcdefghij"  # 32 bytes
-FIXTURE_NT = "/root/reference/tests/data/test.nt"
-FIXTURE_RULES = "/root/reference/tests/data/rules.yaml"
+FIXTURE_NT = str(Path(__file__).parent / "data" / "reference_test.nt")
+FIXTURE_RULES = str(Path(__file__).parent / "data" / "reference_rules.yaml")
 
 # Parsed fixture triples (tests/data/test.nt:1-15), as (s, p, o) with
 # IRIs bare and literals as ('lit', value).

@@ -1,5 +1,6 @@
 """Pass-1 type index semantics (index.rs:50-135)."""
 
+from pathlib import Path
 from pyspark.sql import functions as F
 
 from tripsu_spark.operators.index import build_type_index, type_index_pairs
@@ -33,7 +34,7 @@ def test_index_blank_subjects_indexable(spark):
 def test_index_on_reference_fixture(spark):
     """tests/data/test.nt has 5 typed subjects over 3 distinct types
     (cf. tests/data/type_index.json: 3 interned types, 5 map keys)."""
-    triples = read_ntriples(spark, "/root/reference/tests/data/test.nt")
+    triples = read_ntriples(spark, str(Path(__file__).parent / "data" / "reference_test.nt"))
     assert triples.count() == 15
     idx = build_type_index(triples)
     assert idx.count() == 5

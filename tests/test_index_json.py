@@ -32,7 +32,11 @@ from test_e2e_golden import (
     result_to_set,
 )
 
-FIXTURE_INDEX_JSON = "/root/reference/tests/data/type_index.json"
+# Committed copy of the fixture the reference binary itself ships at
+# tests/data/type_index.json (produced by `tripsu index` over its test
+# .nt input) — copied verbatim so the interop tests run without the
+# external reference checkout present.
+FIXTURE_INDEX_JSON = str(Path(__file__).parent / "data" / "reference_type_index.json")
 
 TYPED_SUBJECTS = {
     "<http://example.org/Alice>": ["<http://xmlns.com/foaf/0.1/Person>"],

@@ -77,6 +77,45 @@ def test_bucket_count_invariance(spark, setup):
     assert a == b
 
 
+def test_quarantine_counts_in_manifests(spark, setup):
+    """Malformed transcript rows (null conv_id/turn_idx/role/text) are
+    quarantined per bucket, counted in the bucket manifests and
+    metrics.json, and excluded from the committed graph (SURVEY §4:
+    never silently dropped)."""
+    transcripts, rules, hasher, path = setup
+    bad = spark.createDataFrame(
+        [
+            (None, 0, "user", "null conv", None, None),
+            ("conv-1", 1, None, "null role", None, None),
+            ("conv-2", 2, "user", None, None, None),
+        ],
+        schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    dirty = transcripts.unionByName(bad)
+    writer = GraphTableWriter(path, n_buckets=3)
+    metrics = writer.run(spark, dirty, rules, hasher)
+    assert metrics["total_quarantined"] == 3
+    per_bucket = 0
+    for b in [0, 1, 2]:
+        with open(os.path.join(path, "_manifests", f"bucket-{b}.json")) as fh:
+            per_bucket += json.load(fh)["quarantined"]
+    assert per_bucket == 3
+    # the quarantined rows are preserved on disk for audit
+    q = spark.read.json(os.path.join(path, "_quarantine"))
+    assert q.count() == 3
+    # and the committed graph matches a clean run over valid rows only
+    clean = GraphTableWriter(path + "-clean", n_buckets=3)
+    m_clean = clean.run(spark, transcripts, rules, hasher)
+    assert m_clean["total_quarantined"] == 0
+    assert metrics["total_rows"] == m_clean["total_rows"]
+    got = {tuple(r) for r in writer.read(spark).collect()}
+    want = {tuple(r) for r in clean.read(spark).collect()}
+    assert got == want
+    # resume metrics carry quarantine counts forward from manifests
+    m_again = writer.run(spark, dirty, rules, hasher)
+    assert m_again["total_quarantined"] == 3
+
+
 def test_read_for_index_prunes_partitions(spark, setup):
     transcripts, rules, hasher, path = setup
     writer = GraphTableWriter(path, n_buckets=2)

@@ -1,5 +1,6 @@
 """N-Triples source/sink (O1/O9): parse, escape, round-trip."""
 
+from pathlib import Path
 from pyspark.sql import functions as F
 
 from tripsu_spark.schemas import TRIPLE_SCHEMA
@@ -66,7 +67,7 @@ def test_roundtrip_write_read(spark, tmp_path):
 
 
 def test_reference_fixture_roundtrip(spark, tmp_path):
-    triples = read_ntriples(spark, "/root/reference/tests/data/test.nt")
+    triples = read_ntriples(spark, str(Path(__file__).parent / "data" / "reference_test.nt"))
     path = str(tmp_path / "ref.nt")
     write_ntriples(triples, path)
     again = read_ntriples(spark, path)
@@ -76,7 +77,7 @@ def test_reference_fixture_roundtrip(spark, tmp_path):
     ours = {r["line"] for r in ntriples_lines(triples).collect()}
     theirs = {
         line.strip()
-        for line in open("/root/reference/tests/data/test.nt", encoding="utf-8")
+        for line in open(str(Path(__file__).parent / "data" / "reference_test.nt"), encoding="utf-8")
         if line.strip()
     }
     assert ours == theirs

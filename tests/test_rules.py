@@ -2,6 +2,7 @@
 rules.rs test groups ``valid_curies`` (rules.rs:391-424) and
 ``expand_rules`` (rules.rs:425-466), plus io.rs:100-104 fixture load."""
 
+from pathlib import Path
 import pytest
 
 from tripsu_spark.rules import PrefixMap, RuleConfigError, Rules
@@ -100,7 +101,7 @@ def test_empty_rules():
 
 
 def test_loads_reference_fixture_file():
-    rules = Rules.load("/root/reference/tests/data/rules.yaml")
+    rules = Rules.load(str(Path(__file__).parent / "data" / "reference_rules.yaml"))
     assert "<http://example.org/Person>" in rules.node_of_type
 
 

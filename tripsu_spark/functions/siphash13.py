@@ -10,7 +10,7 @@ UTF-8 bytes followed by a single 0xff length-delimiter byte, and
 ``rust_default_hash_str`` reproduces that exactly, which is what lets
 ``tripsu pseudo -x type_index.json`` consume an index produced by the
 reference binary (interop; validated against the committed fixture
-tests/data/type_index.json in tests/test_index_json.py).
+tests/data/reference_type_index.json in tests/test_index_json.py).
 """
 
 from __future__ import annotations

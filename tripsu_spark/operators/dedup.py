@@ -385,43 +385,61 @@ SELECT doc_id, {bits_expr} AS simhash FROM summed
 
 # -------------------------------------- near-dup clusters (canonical doc)
 
-def dedup_clusters(documents: DataFrame, num_hashes: int = NUM_HASHES,
-                   band_size: int = BAND_SIZE, min_est: float = EST_JACCARD_MIN,
-                   max_iters: int = 25) -> DataFrame:
-    """(doc_id, cluster_id) — connected components over the MinHash-LSH
-    near-dup graph; cluster_id = min doc_id in the component (the doc a
-    dedup pipeline keeps). Singleton docs are their own cluster.
+def connected_components(nodes: DataFrame, pairs: DataFrame,
+                         max_iters: int = 25) -> DataFrame:
+    """(doc_id, cluster_id): cluster_id = min doc_id reachable from
+    doc_id over the undirected edge set ``pairs`` (a, b). Singletons
+    are their own cluster.
 
-    Algorithm: HashMin label propagation — iterate
-    ``label[v] <- min(label[v], min over neighbors of label[u])`` until
-    a fixpoint. Each iteration is ONE equi-join + ONE aggregate, both
-    keyed on doc ids; converges in O(component diameter) rounds (dup
-    clusters are shallow in practice). The per-iteration driver sync is
-    a single count — the same shape Spark GraphX/GraphFrames CC uses;
-    large-star/small-star would halve rounds if diameters ever grow.
-    Labels persist per round (MEMORY_AND_DISK) and unpersist after the
-    next round materializes."""
+    Algorithm: HashMin label propagation with pointer doubling — each
+    round does (1) ``label[v] <- min(label[v], min over neighbors of
+    label[u])`` (one equi-join + one aggregate, keyed on doc ids) and
+    (2) ``label[v] <- label[label[v]]`` (one more equi-join), the
+    classic two-phase CC. The jump step makes convergence
+    O(log diameter) instead of O(diameter): a 1000-link chain closes in
+    ~11 rounds, not 1000 (tests/test_dedup.py deep-chain fixture). The
+    per-round driver sync is a single count — the same shape
+    GraphX/GraphFrames CC uses. Labels persist per round
+    (MEMORY_AND_DISK) and unpersist after the next round materializes.
+
+    Raises RuntimeError if the fixpoint is not reached in ``max_iters``
+    rounds (a silent early exit would return WRONG labels; with
+    doubling, 25 rounds cover component diameters up to ~2^25)."""
     from pyspark import StorageLevel
 
-    pairs = dedup_minhash_lsh(documents, num_hashes, band_size, min_est).select("a", "b")
-    edges = pairs.unionByName(
+    edges = pairs.select("a", "b").unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    labels = documents.select(
+    labels = nodes.select(
         F.col("doc_id"), F.col("doc_id").alias("label")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    changed = None
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels.select(F.col("doc_id").alias("b"), "label"), "b")
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # labels only ever decrease and label[v] <= v, so jumping
+        # through the PREVIOUS round's parent map is always sound.
+        parent = labels.select(
+            F.col("doc_id").alias("_mid"), F.col("label").alias("_plabel")
+        )
         new_labels = (
-            labels.join(nbr_min, "doc_id", "left")
+            labels.select("doc_id", F.col("label").alias("_old"))
+            .join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+                "_old",
+                F.least(
+                    F.col("_old"), F.coalesce(F.col("nbr_label"), F.col("_old"))
+                ).alias("_mid"),
+            )
+            .join(parent, "_mid", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("_mid"), F.coalesce(F.col("_plabel"), F.col("_mid"))).alias("label"),
+                (F.col("_mid") < F.col("_old")).alias("_changed"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -431,7 +449,24 @@ def dedup_clusters(documents: DataFrame, num_hashes: int = NUM_HASHES,
         if changed == 0:
             break
     edges.unpersist()
+    if changed:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — raise max_iters"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(documents: DataFrame, num_hashes: int = NUM_HASHES,
+                   band_size: int = BAND_SIZE, min_est: float = EST_JACCARD_MIN,
+                   max_iters: int = 25) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over the MinHash-LSH
+    near-dup graph; cluster_id = min doc_id in the component (the doc a
+    dedup pipeline keeps). See ``connected_components`` for the
+    label-propagation core and its convergence guarantee."""
+    pairs = dedup_minhash_lsh(documents, num_hashes, band_size, min_est).select("a", "b")
+    return connected_components(documents.select("doc_id"), pairs, max_iters)
 
 
 def dedup_clusters_oracle(num_hashes: int = NUM_HASHES,

@@ -67,6 +67,19 @@ def bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
 
 
+# A transcript row missing any of these cannot mint valid IRIs/triples
+# (null conv_id/turn_idx break the subject IRI; null role/text break
+# literal objects). SURVEY §4: such rows must NOT be silently dropped —
+# they are quarantined per bucket with counts in the bucket manifest.
+def _invalid_transcript():
+    return (
+        F.col("conv_id").isNull()
+        | F.col("turn_idx").isNull()
+        | F.col("role").isNull()
+        | F.col("text").isNull()
+    )
+
+
 def triples_checksum(triples: DataFrame) -> tuple[int, int]:
     """(row_count, order-insensitive checksum) over canonical lines."""
     row = (
@@ -115,10 +128,15 @@ class GraphTableWriter:
         """
         snapshot_id = snapshot_id or f"snap-{int(time.time() * 1000)}"
 
+        # Split valid/quarantine ONCE; every pass below sees valid rows
+        # only, and malformed rows land in _quarantine/bucket=<k> with
+        # per-bucket counts in the manifests (audit trail, SURVEY §4).
+        valid = transcripts.filter(~_invalid_transcript())
+
         index_path = os.path.join(self.base_path, "type_index")
         index_manifest = os.path.join(self.manifest_dir, "type_index.json")
         if not os.path.exists(index_manifest):
-            index_df = build_type_index(extract_triples(transcripts))
+            index_df = build_type_index(extract_triples(valid))
             index_df.write.mode("overwrite").parquet(index_path)
             n = spark.read.parquet(index_path).count()
             _atomic_write_json(index_manifest, {
@@ -128,20 +146,34 @@ class GraphTableWriter:
 
         done = self.committed_buckets()
         metrics: dict = {"snapshot_id": snapshot_id, "buckets": {}, "skipped": sorted(done, key=str)}
-        bucketed = transcripts.withColumn("_bucket", bucket_col(self.n_buckets))
+        # null conv_id (a quarantine case) hashes to bucket 0 so every
+        # malformed row still has a deterministic home bucket.
+        bucketed = transcripts.withColumn(
+            "_bucket", F.coalesce(bucket_col(self.n_buckets), F.lit(0))
+        )
 
         # Per-turn triples are conversation-local -> one bucket each.
         # Derived triples (entity typing, link scores) are GLOBAL facts
         # and get their own single commit, so the union over all
         # commits equals extract_triples(all) exactly regardless of
         # n_buckets (no cross-bucket duplicate type rows).
-        units: list[tuple[int | str, object]] = [
-            (b, per_turn_triples(bucketed.filter(F.col("_bucket") == b).drop("_bucket")))
+        units: list[tuple[int | str, object, object]] = [
+            (
+                b,
+                per_turn_triples(
+                    bucketed.filter(
+                        (F.col("_bucket") == b) & ~_invalid_transcript()
+                    ).drop("_bucket")
+                ),
+                bucketed.filter(
+                    (F.col("_bucket") == b) & _invalid_transcript()
+                ).drop("_bucket"),
+            )
             for b in range(self.n_buckets)
         ]
-        units.append(("derived", derived_triples(transcripts)))
+        units.append(("derived", derived_triples(valid), None))
 
-        for bucket, triples in units:
+        for bucket, triples, quarantine in units:
             if bucket in done:
                 continue
             out = pseudonymize(triples, index_df, rules, hasher)
@@ -152,14 +184,22 @@ class GraphTableWriter:
                 .partitionBy("pred_part")
                 .parquet(data_path)
             )
+            n_bad = 0
+            if quarantine is not None:
+                q_path = os.path.join(self.base_path, "_quarantine", f"bucket={bucket}")
+                quarantine.write.mode("overwrite").json(q_path)
+                n_bad = spark.read.json(q_path).count() if _has_data(q_path) else 0
             n, checksum = triples_checksum(spark.read.parquet(data_path).drop("pred_part"))
             _atomic_write_json(self._manifest_path(bucket), {
                 "snapshot_id": snapshot_id,
                 "partition_id": bucket,
                 "row_count": n,
                 "checksum": checksum,
+                "quarantined": n_bad,
             })
-            metrics["buckets"][str(bucket)] = {"rows": n, "checksum": checksum}
+            metrics["buckets"][str(bucket)] = {
+                "rows": n, "checksum": checksum, "quarantined": n_bad
+            }
             if (
                 fail_after_bucket is not None
                 and isinstance(bucket, int)
@@ -168,10 +208,14 @@ class GraphTableWriter:
                 raise RuntimeError(f"injected failure after bucket {bucket}")
 
         total = sum(m["rows"] for m in metrics["buckets"].values())
+        total_bad = sum(m["quarantined"] for m in metrics["buckets"].values())
         for b in sorted(done, key=str):
             with open(self._manifest_path(b)) as fh:
-                total += json.load(fh)["row_count"]
+                manifest = json.load(fh)
+            total += manifest["row_count"]
+            total_bad += manifest.get("quarantined", 0)
         metrics["total_rows"] = total
+        metrics["total_quarantined"] = total_bad
         _atomic_write_json(os.path.join(self.base_path, "metrics.json"), metrics)
         return metrics
 
@@ -180,6 +224,19 @@ class GraphTableWriter:
             spark.read.parquet(os.path.join(self.base_path, "data"))
             .drop("pred_part", "bucket")
         )
+
+
+def _has_data(path: str) -> bool:
+    """True if a written json/parquet dir contains any part files with
+    bytes (an all-empty-partition write yields only a _SUCCESS marker,
+    which spark.read.json cannot infer a schema from)."""
+    try:
+        return any(
+            f.startswith("part-") and os.path.getsize(os.path.join(path, f)) > 0
+            for f in os.listdir(path)
+        )
+    except FileNotFoundError:
+        return False
 
 
 def _atomic_write_json(path: str, obj: dict) -> None:

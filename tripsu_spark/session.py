@@ -29,10 +29,18 @@ DEFAULTS = {
     # Smaller splits keep every core busy; AQE re-coalesces shuffles.
     "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
     "spark.sql.files.openCostInBytes": str(512 * 1024),
-    # v2 commits rename task output during (parallel) task commit
-    # instead of serially on the driver at job commit — the serial v1
-    # rename loop is pure fixed overhead that grows with file count and
-    # dilutes scaling on short jobs.
+}
+
+# v2 commits rename task output during (parallel) task commit instead
+# of serially on the driver at job commit — the serial v1 rename loop
+# is pure fixed overhead that grows with file count and dilutes scaling
+# on short jobs. The trade-off: a failed/partial job can leave partial
+# output visible (v1 is atomic at job commit), so v2 is NOT a session
+# default — bench/scaling entry points opt in via
+# ``get_spark(extra_conf=FAST_WRITE_CONF)``; user-facing paths (CLI,
+# GraphTableWriter) keep the safe v1 committer, and the lineage layer's
+# manifest-last commit protocol makes torn writes re-runnable anyway.
+FAST_WRITE_CONF = {
     "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
 }
 
