@@ -41,6 +41,33 @@ def test_blake3_multi_block_and_multi_chunk_paths():
         assert len(h) == 64
 
 
+def test_blake3_batch_matches_scalar_property():
+    """The numpy-vectorized batch implementation (the pandas-UDF hot
+    path) must be bit-identical to the scalar reference implementation
+    at every length class: empty, sub-block, block boundaries, chunk
+    boundary, and the multi-chunk fallback."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tripsu_spark.functions.blake3_np import blake3_hex_batch
+
+    # deterministic boundary sweep first
+    boundary = [b"", b"x", b"y" * 63, b"z" * 64, b"w" * 65, b"q" * 1023,
+                b"r" * 1024, b"s" * 1025, b"t" * 2900, None]
+    for key in (None, b"k" * 32):
+        got = blake3_hex_batch(boundary, key)
+        want = [None if d is None else blake3_hex(d, key) for d in boundary]
+        assert got == want
+
+    @given(st.lists(st.binary(min_size=0, max_size=1300), max_size=16))
+    @settings(max_examples=30, deadline=None)
+    def prop(datas):
+        key = b"0" * 32
+        assert blake3_hex_batch(datas, key) == [blake3_hex(d, key) for d in datas]
+
+    prop()
+
+
 def test_derive_key_semantics():
     # crypto.rs:98-102: short secret rejected; crypto.rs:104-110:
     # key = blake3(secret)[0..32].

@@ -3,11 +3,12 @@ BLAKE3 specification (https://github.com/BLAKE3-team/BLAKE3-specs).
 
 Used for algorithm parity with the reference pseudonymizer
 (reference src/crypto.rs:116-120 uses ``blake3::keyed_hash``); the
-``blake3`` wheel is not available in this environment. Inputs here are
-short strings (IRIs / literal values), so a portable pure-Python
-implementation is fine — it is wrapped in an Arrow-batched pandas UDF
-and is NOT the default hash path (SHA-256 salted hashing is; see
-tripsu_spark/crypto.py).
+``blake3`` wheel is not available in this environment. This module is
+the readable scalar REFERENCE implementation (and the multi-chunk
+fallback); the Spark hot path uses the numpy-vectorized batch
+implementation in functions/blake3_np.py (~90x this module's rate),
+validated bit-identical against this one. SHA-256 salted hashing
+remains the default backend (see tripsu_spark/crypto.py).
 
 Self-tested against the official empty-input test vector in
 tests/test_crypto.py.
