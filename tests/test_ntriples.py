@@ -51,6 +51,35 @@ def test_malformed_lines_are_quarantined_not_dropped(spark):
     assert df.filter(F.col("_error").isNull()).count() == 1
 
 
+TRICKY = SAMPLE + [
+    'bad line with \\ escape but no triple',
+    '<http://a/s> <http://a/p> "unterminated .',
+    '<http://a/s> <http://a/p> "" .',                      # empty literal
+    '<http://a/s> <http://a/p> ""^^<> .',                  # empty datatype IRI
+    '<http://a/s> <http://a/p> "\\u00e9\\U0001F600" .',    # unicode escapes
+    '  <http://a/s>   <http://a/p>   "spaced"   .  ',      # whitespace slop
+    '<http://a/s> <http://a/p> <http://a/o> no dot',
+]
+
+
+def test_hybrid_parse_identical_to_python_parse(spark):
+    """The Catalyst fast path + Python fallback must produce exactly the
+    rows the uniform Python parser produces — including _error text —
+    on a corpus mixing every form, escapes, and malformed lines."""
+    lines = spark.createDataFrame([(line,) for line in TRICKY], ["value"])
+    hybrid = {tuple(r) for r in parse_ntriples_lines(lines, hybrid=True).collect()}
+    python = {tuple(r) for r in parse_ntriples_lines(lines, hybrid=False).collect()}
+    assert hybrid == python
+
+
+def test_catalyst_fast_path_has_no_python_eval(spark):
+    from tripsu_spark.sources.ntriples import parse_ntriples_catalyst
+
+    lines = spark.createDataFrame([(s,) for s in SAMPLE[:3]], ["value"])
+    plan = parse_ntriples_catalyst(lines)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
 def test_roundtrip_write_read(spark, tmp_path):
     rows = [
         ("iri", "http://a/s", "http://a/p", "literal", 'tricky "v"\n\\x', None, None),
