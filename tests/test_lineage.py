@@ -116,6 +116,47 @@ def test_quarantine_counts_in_manifests(spark, setup):
     assert m_again["total_quarantined"] == 3
 
 
+def test_snapshot_time_travel_and_schema_evolution(spark, setup):
+    """Iceberg-style snapshot log: a second run with overwrite=True
+    commits a NEW snapshot (here also changing the PHYSICAL schema to
+    prefix-compacted storage); read() serves the latest, read(as_of=)
+    time-travels to the first, both as the same LOGICAL schema."""
+    transcripts, rules, hasher, path = setup
+    writer = GraphTableWriter(path, n_buckets=2)
+    writer.run(spark, transcripts, rules, hasher, snapshot_id="snap-A")
+    first = {tuple(r) for r in writer.read(spark).collect()}
+
+    # second table version: different input AND compact physical layout
+    t2 = synthetic_transcripts(spark, n_convs=9, turns_per_conv=5)
+    writer.run(
+        spark, t2, rules, hasher, snapshot_id="snap-B",
+        overwrite=True, store_compact=True,
+    )
+    snaps = writer.snapshots()
+    assert [s["snapshot_id"] for s in snaps] == ["snap-A", "snap-B"]
+    assert snaps[0]["schema"] != snaps[1]["schema"]  # physical evolution
+
+    # latest read == a plain-storage run of the same input (logical
+    # frame identical despite the compact physical layout) ...
+    plain = GraphTableWriter(path + "-plain", n_buckets=2)
+    plain_metrics = plain.run(spark, t2, rules, hasher)
+    latest = writer.read(spark)
+    assert {tuple(r) for r in latest.collect()} == {
+        tuple(r) for r in plain.read(spark).collect()
+    }
+    # ... same logical columns across snapshots ...
+    assert latest.columns == writer.read(spark, as_of="snap-A").columns
+    # ... and per-bucket checksums are storage-format-invariant
+    for b, m in plain_metrics["buckets"].items():
+        assert snaps[1]["buckets"][b]["checksum"] == m["checksum"]
+
+    # time travel returns the first snapshot exactly
+    assert {tuple(r) for r in writer.read(spark, as_of="snap-A").collect()} == first
+
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        writer.read(spark, as_of="nope")
+
+
 def test_read_for_index_prunes_partitions(spark, setup):
     transcripts, rules, hasher, path = setup
     writer = GraphTableWriter(path, n_buckets=2)

@@ -69,3 +69,67 @@ def test_stateful_link_counts_accumulate_across_batches(spark, tmp_path):
     got2 = drain("links2")
     # second drain emits only updated keys, with ACCUMULATED counts
     assert got2 == {("c1", "7"): 2, ("c1", "9"): 1}
+
+
+def test_streaming_pass2_pseudonymizes_with_restart(spark, tmp_path):
+    """Streaming pass 2 e2e: transcript drops -> pseudonymized triples
+    via foreachBatch against the persisted pass-1 index; a second drop
+    resumes from the checkpoint; a no-data restart changes nothing
+    (idempotent batch=<id> partitions)."""
+    from pyspark.sql import functions as F
+
+    from tripsu_spark.crypto import Pseudonymizer
+    from tripsu_spark.operators.extract import extract_triples
+    from tripsu_spark.operators.index import build_type_index
+    from tripsu_spark.plans.oracle import BENCH_SECRET
+    from tripsu_spark.plans.pipeline import default_rules, pseudonymize
+    from tripsu_spark.streaming.stream import run_pseudo_stream_to_parquet
+
+    t_all = synthetic_transcripts(spark, n_convs=12, turns_per_conv=3)
+    drop1 = t_all.filter(F.xxhash64("conv_id") % 2 == 0)
+    drop2 = t_all.filter(F.xxhash64("conv_id") % 2 != 0)
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    index_path = str(tmp_path / "idx")
+    rules, hasher = default_rules(), Pseudonymizer.create("sha256", BENCH_SECRET)
+
+    # pass 1 (batch layer): persisted index over the full corpus
+    build_type_index(extract_triples(t_all)).write.parquet(index_path)
+
+    drop1.write.parquet(in_path)
+    q = run_pseudo_stream_to_parquet(
+        spark, in_path, index_path, out_path, ckpt, rules, hasher
+    )
+    q.awaitTermination(120)
+
+    drop2.write.mode("append").parquet(in_path)
+    q2 = run_pseudo_stream_to_parquet(
+        spark, in_path, index_path, out_path, ckpt, rules, hasher
+    )
+    q2.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.read.parquet(out_path).drop("batch").collect()}
+    want = {
+        tuple(r)
+        for r in pseudonymize(
+            per_turn_triples(t_all), spark.read.parquet(index_path), rules, hasher
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # hashes really applied: every hasText object is 64-char hex
+    texts = [
+        r["o_value"]
+        for r in spark.read.parquet(out_path)
+        .filter(F.col("predicate").endswith("hasText"))
+        .collect()
+    ]
+    assert texts and all(len(v) == 64 for v in texts)
+
+    # restart with no new data: nothing changes
+    q3 = run_pseudo_stream_to_parquet(
+        spark, in_path, index_path, out_path, ckpt, rules, hasher
+    )
+    q3.awaitTermination(120)
+    again = {tuple(r) for r in spark.read.parquet(out_path).drop("batch").collect()}
+    assert again == want

@@ -91,13 +91,81 @@ def triples_checksum(triples: DataFrame) -> tuple[int, int]:
 
 
 class GraphTableWriter:
-    """Bucketed, resumable two-pass pipeline runner."""
+    """Bucketed, resumable two-pass pipeline runner with an Iceberg-style
+    snapshot log.
+
+    Each COMPLETED run commits a snapshot: ``_snapshots/<seq>-<id>.json``
+    records every bucket's data path, row count, checksum, quarantine
+    count, and the PHYSICAL schema written (snapshots may differ —
+    e.g. standard vs prefix-compacted storage; ``read`` restores the
+    same logical frame either way). ``run(overwrite=True)`` starts a new
+    table version in ``data/v<seq>/`` instead of resuming; ``read(
+    as_of=<snapshot_id>)`` time-travels to any committed snapshot.
+    Version 1 keeps the bare ``data/bucket=<k>`` layout so existing
+    tables/readers are unaffected.
+    """
 
     def __init__(self, base_path: str, n_buckets: int = 8):
         self.base_path = base_path
         self.n_buckets = n_buckets
-        self.manifest_dir = os.path.join(base_path, "_manifests")
+        self.snapshot_dir = os.path.join(base_path, "_snapshots")
+        os.makedirs(self.snapshot_dir, exist_ok=True)
+        self._set_version(self._latest_version())
+
+    # ------------------------------------------------------------ versions
+
+    def _latest_version(self) -> int:
+        vmax = 1
+        data = os.path.join(self.base_path, "data")
+        if os.path.isdir(data):
+            for name in os.listdir(data):
+                if name.startswith("v") and name[1:].isdigit():
+                    vmax = max(vmax, int(name[1:]))
+        return vmax
+
+    def _set_version(self, version: int) -> None:
+        self.version = version
+        sub = "" if version == 1 else f"v{version}"
+        self.data_dir = os.path.join(self.base_path, "data", sub) if sub else os.path.join(self.base_path, "data")
+        self.manifest_dir = os.path.join(self.base_path, "_manifests", sub) if sub else os.path.join(self.base_path, "_manifests")
+        self.quarantine_dir = os.path.join(self.base_path, "_quarantine", sub) if sub else os.path.join(self.base_path, "_quarantine")
         os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ snapshots
+
+    def snapshots(self) -> list[dict]:
+        """Committed snapshots, oldest first."""
+        out = []
+        for name in sorted(os.listdir(self.snapshot_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.snapshot_dir, name)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def _commit_snapshot(self, snapshot_id: str, schema_json: str) -> None:
+        buckets = {}
+        for b in sorted(self.committed_buckets(), key=str):
+            with open(self._manifest_path(b)) as fh:
+                m = json.load(fh)
+            buckets[str(b)] = {
+                "path": os.path.relpath(
+                    os.path.join(self.data_dir, f"bucket={b}"), self.base_path
+                ),
+                "row_count": m["row_count"],
+                "checksum": m["checksum"],
+                "quarantined": m.get("quarantined", 0),
+            }
+        seq = len(self.snapshots()) + 1
+        _atomic_write_json(
+            os.path.join(self.snapshot_dir, f"{seq:06d}-{snapshot_id}.json"),
+            {
+                "snapshot_id": snapshot_id,
+                "sequence": seq,
+                "version": self.version,
+                "schema": schema_json,
+                "buckets": buckets,
+            },
+        )
 
     def _manifest_path(self, bucket) -> str:
         return os.path.join(self.manifest_dir, f"bucket-{bucket}.json")
@@ -118,6 +186,8 @@ class GraphTableWriter:
         hasher: Pseudonymizer,
         snapshot_id: str | None = None,
         fail_after_bucket: int | None = None,
+        overwrite: bool = False,
+        store_compact: bool = False,
     ) -> dict:
         """Process every uncommitted bucket; returns metrics dict.
 
@@ -125,15 +195,27 @@ class GraphTableWriter:
         The global type index is built over ALL transcripts first (pass
         1 must see every rdf:type statement regardless of bucket) and
         persisted once as the pass-2 broadcast side.
+
+        ``overwrite=True`` starts a NEW table version (fresh data dirs;
+        prior snapshots stay readable via ``read(as_of=...)``).
+        ``store_compact=True`` stores this version prefix-compacted
+        (plans/compact.py) — a PHYSICAL schema change; ``read`` restores
+        the identical logical frame, and checksums are computed on the
+        logical frame so they are storage-format-invariant.
         """
         snapshot_id = snapshot_id or f"snap-{int(time.time() * 1000)}"
+        if overwrite and (self.committed_buckets() or self.snapshots()):
+            self._set_version(self.version + 1)
 
         # Split valid/quarantine ONCE; every pass below sees valid rows
         # only, and malformed rows land in _quarantine/bucket=<k> with
         # per-bucket counts in the manifests (audit trail, SURVEY §4).
         valid = transcripts.filter(~_invalid_transcript())
 
-        index_path = os.path.join(self.base_path, "type_index")
+        index_path = os.path.join(
+            self.base_path,
+            "type_index" if self.version == 1 else f"type_index_v{self.version}",
+        )
         index_manifest = os.path.join(self.manifest_dir, "type_index.json")
         if not os.path.exists(index_manifest):
             index_df = build_type_index(extract_triples(valid))
@@ -177,7 +259,11 @@ class GraphTableWriter:
             if bucket in done:
                 continue
             out = pseudonymize(triples, index_df, rules, hasher)
-            data_path = os.path.join(self.base_path, "data", f"bucket={bucket}")
+            if store_compact:
+                from .compact import compact_triples
+
+                out = compact_triples(out)
+            data_path = os.path.join(self.data_dir, f"bucket={bucket}")
             (
                 out.withColumn("pred_part", predicate_partition_col())
                 .write.mode("overwrite")
@@ -186,10 +272,14 @@ class GraphTableWriter:
             )
             n_bad = 0
             if quarantine is not None:
-                q_path = os.path.join(self.base_path, "_quarantine", f"bucket={bucket}")
+                q_path = os.path.join(self.quarantine_dir, f"bucket={bucket}")
                 quarantine.write.mode("overwrite").json(q_path)
                 n_bad = spark.read.json(q_path).count() if _has_data(q_path) else 0
-            n, checksum = triples_checksum(spark.read.parquet(data_path).drop("pred_part"))
+            from .compact import maybe_expand
+
+            n, checksum = triples_checksum(
+                maybe_expand(spark.read.parquet(data_path).drop("pred_part"))
+            )
             _atomic_write_json(self._manifest_path(bucket), {
                 "snapshot_id": snapshot_id,
                 "partition_id": bucket,
@@ -217,11 +307,44 @@ class GraphTableWriter:
         metrics["total_rows"] = total
         metrics["total_quarantined"] = total_bad
         _atomic_write_json(os.path.join(self.base_path, "metrics.json"), metrics)
+        # run completed -> commit a snapshot (skip pure no-op resumes so
+        # an idempotent re-run doesn't duplicate the log)
+        snaps = self.snapshots()
+        if metrics["buckets"] or not any(s["version"] == self.version for s in snaps):
+            sample = spark.read.parquet(
+                os.path.join(self.data_dir, f"bucket={self.n_buckets - 1 if self.n_buckets else 0}")
+            )
+            self._commit_snapshot(snapshot_id, sample.drop("pred_part").schema.json())
         return metrics
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        return (
-            spark.read.parquet(os.path.join(self.base_path, "data"))
+    def read(self, spark: SparkSession, as_of: str | None = None) -> DataFrame:
+        """Logical triple frame of the latest snapshot, or time-travel
+        to ``as_of=<snapshot_id>``. Physical schema differences between
+        snapshots (e.g. compact vs standard storage) are resolved here —
+        callers always get the same logical columns."""
+        from .compact import maybe_expand
+
+        snaps = self.snapshots()
+        if not snaps:
+            # no committed snapshot yet (mid-run/legacy): direct read
+            return maybe_expand(
+                spark.read.parquet(os.path.join(self.base_path, "data"))
+                .drop("pred_part", "bucket")
+            )
+        if as_of is None:
+            snap = snaps[-1]
+        else:
+            matching = [s for s in snaps if s["snapshot_id"] == as_of]
+            if not matching:
+                known = [s["snapshot_id"] for s in snaps]
+                raise ValueError(f"unknown snapshot {as_of!r}; committed: {known}")
+            snap = matching[-1]
+        paths = [os.path.join(self.base_path, b["path"]) for b in snap["buckets"].values()]
+        # all buckets of one snapshot share a version data dir; basePath
+        # makes Spark treat the bucket=<k> roots as partition dirs
+        return maybe_expand(
+            spark.read.option("basePath", os.path.dirname(paths[0]))
+            .parquet(*paths)
             .drop("pred_part", "bucket")
         )
 

@@ -101,6 +101,59 @@ def stream_entity_link_state(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def run_pseudo_stream_to_parquet(
+    spark: SparkSession,
+    in_path: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    rules,
+    hasher,
+):
+    """Streaming pass 2 — the FULL reference pipeline over a live
+    transcript feed (round-2 verdict item 6): per-turn extraction ->
+    rule masking -> pseudonymization, via ``foreachBatch`` against the
+    persisted pass-1 index.
+
+    Index semantics per micro-batch: persisted index UNION a
+    batch-local type index, min-merged per subject. A turn's rdf:type
+    row is generated from the same input row as its other triples, so
+    brand-new subjects are always masked correctly; entity types that
+    only exist as global aggregates (derived_triples) follow the
+    persisted index's freshness — same staleness contract as re-running
+    the reference's pass 2 with yesterday's index.json.
+
+    Exactly-once: each micro-batch OVERWRITES its own
+    ``batch=<epoch_id>`` partition, so a batch replayed after a crash
+    is idempotent (foreachBatch alone is at-least-once). Read the
+    result with ``spark.read.parquet(out_path).drop("batch")``.
+    """
+    from ..operators.index import build_type_index
+    from ..plans.pipeline import pseudonymize
+
+    static_index = spark.read.parquet(index_path)
+
+    def process(batch_triples: DataFrame, batch_id: int) -> None:
+        local = build_type_index(batch_triples)
+        merged = (
+            static_index.unionByName(local)
+            .select("subject_key", F.explode("types").alias("t"))
+            .groupBy("subject_key")
+            .agg(F.array_sort(F.collect_set("t")).alias("types"))
+        )
+        out = pseudonymize(batch_triples, merged, rules, hasher)
+        out.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    triples = stream_per_turn_triples(read_transcript_stream(spark, in_path))
+    return (
+        triples.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
 def run_stream_to_parquet(
     spark: SparkSession, in_path: str, out_path: str, checkpoint: str
 ):
