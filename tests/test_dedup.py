@@ -145,3 +145,38 @@ def test_dedup_clusters_connected_components(spark, docs):
     pairs = {(r["a"], r["b"]) for r in dedup.dedup_minhash_lsh(chain).select("a", "b").collect()}
     if (10, 11) in pairs and (11, 12) in pairs:
         assert labels[10] == labels[11] == labels[12] == 10
+
+
+def test_connected_components_deep_chain_converges_fast(spark):
+    """A 1000-link chain (diameter 1000) must close within the default
+    25 rounds — possible only because the label-propagation core does
+    pointer doubling (O(log diameter)); plain HashMin would need 1000
+    rounds and now RAISES instead of silently returning wrong labels."""
+    from pyspark.sql import functions as F
+
+    from tripsu_spark.operators.dedup import connected_components
+
+    n = 1001
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    got = connected_components(nodes, chain, max_iters=25)
+    labels = {r["cluster_id"] for r in got.collect()}
+    assert labels == {0}
+    assert got.count() == n
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tripsu_spark.operators.dedup import connected_components
+
+    n = 40
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, chain, max_iters=2)

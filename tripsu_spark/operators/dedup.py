@@ -399,8 +399,12 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     O(log diameter) instead of O(diameter): a 1000-link chain closes in
     ~11 rounds, not 1000 (tests/test_dedup.py deep-chain fixture). The
     per-round driver sync is a single count — the same shape
-    GraphX/GraphFrames CC uses. Labels persist per round
-    (MEMORY_AND_DISK) and unpersist after the next round materializes.
+    GraphX/GraphFrames CC uses. Each round's labels are
+    ``localCheckpoint``-ed: the label frame references itself twice per
+    round (neighbor map + parent map), so without lineage truncation
+    the logical plan doubles every round and the driver OOMs compiling
+    it — the exact failure mode GraphX's periodic checkpointing exists
+    for.
 
     Raises RuntimeError if the fixpoint is not reached in ``max_iters``
     rounds (a silent early exit would return WRONG labels; with
@@ -441,7 +445,7 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                 F.least(F.col("_mid"), F.coalesce(F.col("_plabel"), F.col("_mid"))).alias("label"),
                 (F.col("_mid") < F.col("_old")).alias("_changed"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)  # materialize + truncate lineage
         )
         changed = new_labels.filter(F.col("_changed")).count()
         labels.unpersist()

@@ -480,7 +480,9 @@ SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= {TOP_K}
 
 # --------------------------------------------- embedding near-dup
 
-def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
+def dedup_embedding_cosine(
+    embeddings: DataFrame, threshold: float = NEAR_DUP_COSINE
+) -> DataFrame:
     """Near-duplicate vector pairs (a < b) with cosine >= threshold.
     IDs only — no float columns in the output."""
     vs = embeddings.select(F.col("vec_id"), _emb().alias("v"))
@@ -488,7 +490,7 @@ def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
         vs.alias("x")
         .join(vs.alias("y"), F.col("x.vec_id") < F.col("y.vec_id"))
         .filter(
-            F.round(cosine(F.col("x.v"), F.col("y.v")), 6) >= NEAR_DUP_COSINE
+            F.round(cosine(F.col("x.v"), F.col("y.v")), 6) >= threshold
         )
         .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
     )
@@ -555,7 +557,9 @@ def embedding_lsh_entries(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def dedup_embedding_cosine_lsh(embeddings: DataFrame) -> DataFrame:
+def dedup_embedding_cosine_lsh(
+    embeddings: DataFrame, threshold: float = NEAR_DUP_COSINE
+) -> DataFrame:
     """Scale path for embedding near-dup (round-1 verdict item 2): the
     all-pairs exact op is O(n²); here candidates come from an EQUI-join
     on (table, bucket) — shuffle keyed on small (t, bucket) strings,
@@ -579,7 +583,7 @@ def dedup_embedding_cosine_lsh(embeddings: DataFrame) -> DataFrame:
     return (
         pairs.join(va, "a")
         .join(vb, "b")
-        .filter(F.round(cosine(F.col("xv"), F.col("yv")), 6) >= NEAR_DUP_COSINE)
+        .filter(F.round(cosine(F.col("xv"), F.col("yv")), 6) >= threshold)
         .select("a", "b")
     )
 
