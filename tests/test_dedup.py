@@ -147,6 +147,23 @@ def test_dedup_clusters_connected_components(spark, docs):
         assert labels[10] == labels[11] == labels[12] == 10
 
 
+def test_minhash_lsh_reuse_sigs_identical(spark, docs):
+    """reuse_sigs=True (one localCheckpointed signature computation
+    instead of 4x across join branches — measured 4.05x at 100k docs,
+    BENCH.md) must be result-identical to the pure-Catalyst default."""
+    from tripsu_spark.operators import dedup
+
+    base = {
+        tuple(r)
+        for r in dedup.dedup_minhash_lsh(docs, 128, 8).collect()
+    }
+    reused = {
+        tuple(r)
+        for r in dedup.dedup_minhash_lsh(docs, 128, 8, reuse_sigs=True).collect()
+    }
+    assert base == reused and base
+
+
 def test_connected_components_deep_chain_converges_fast(spark):
     """A 1000-link chain (diameter 1000) must close within the default
     25 rounds — possible only because the label-propagation core does

@@ -125,11 +125,11 @@ def minhash_sig_frame(documents: DataFrame, num_hashes: int = NUM_HASHES) -> Dat
     )
 
 
-def minhash_bands(documents: DataFrame, num_hashes: int = NUM_HASHES,
-                  band_size: int = BAND_SIZE) -> DataFrame:
-    """(doc_id, band_idx, band_hash) — LSH bucketing rows. Docs too
-    short to shingle are excluded (the oracle's NULL || NULL band
-    concat excludes them implicitly)."""
+def minhash_bands_from_sigs(sigs: DataFrame, num_hashes: int = NUM_HASHES,
+                            band_size: int = BAND_SIZE) -> DataFrame:
+    """(doc_id, band_idx, band_hash) from a (doc_id, sig) frame —
+    lets callers share one signature computation across the band
+    self-join and the verify joins (see ``dedup_minhash_lsh``)."""
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -149,9 +149,19 @@ def minhash_bands(documents: DataFrame, num_hashes: int = NUM_HASHES,
         ]
     )
     return (
-        minhash_sig_frame(documents, num_hashes)
+        sigs
         .select(F.col("doc_id"), F.explode(bands).alias("b"))
         .select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
+    )
+
+
+def minhash_bands(documents: DataFrame, num_hashes: int = NUM_HASHES,
+                  band_size: int = BAND_SIZE) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — LSH bucketing rows. Docs too
+    short to shingle are excluded (the oracle's NULL || NULL band
+    concat excludes them implicitly)."""
+    return minhash_bands_from_sigs(
+        minhash_sig_frame(documents, num_hashes), num_hashes, band_size
     )
 
 
@@ -186,12 +196,23 @@ def _sql_bands(num_hashes: int = NUM_HASHES, band_size: int = BAND_SIZE) -> str:
 
 def dedup_minhash_lsh(documents: DataFrame, num_hashes: int = NUM_HASHES,
                       band_size: int = BAND_SIZE,
-                      min_est: float = EST_JACCARD_MIN) -> DataFrame:
+                      min_est: float = EST_JACCARD_MIN,
+                      reuse_sigs: bool = False) -> DataFrame:
     """Candidate near-dup pairs: bucket-join on LSH bands, then verify
     on signature agreement >= ``min_est``. Output (a, b, est) with
-    a < b, est rounded to avoid cross-engine float noise."""
+    a < b, est rounded to avoid cross-engine float noise.
+
+    ``reuse_sigs=True`` lazily ``localCheckpoint``s the signature frame
+    so the ~num_hashes×shingles md5 work per doc runs ONCE instead of
+    4× (the plan references sigs in the band self-join twice and the
+    verify join twice, and Catalyst does not CSE across join branches).
+    At production params (128 hashes) signatures dominate; measured 100k
+    docs: see BENCH.md stress section. Off by default so the oracle-gate
+    plans stay pure-Catalyst (plan assertions in tests/test_plans.py)."""
     sigs = minhash_sig_frame(documents, num_hashes)
-    bands = minhash_bands(documents, num_hashes, band_size)
+    if reuse_sigs:
+        sigs = sigs.localCheckpoint(eager=False)
+    bands = minhash_bands_from_sigs(sigs, num_hashes, band_size)
     pairs = (
         bands.alias("x")
         .join(bands.alias("y"), on=["band_idx", "band_hash"], how="inner")
@@ -464,12 +485,14 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
 
 def dedup_clusters(documents: DataFrame, num_hashes: int = NUM_HASHES,
                    band_size: int = BAND_SIZE, min_est: float = EST_JACCARD_MIN,
-                   max_iters: int = 25) -> DataFrame:
+                   max_iters: int = 25, reuse_sigs: bool = False) -> DataFrame:
     """(doc_id, cluster_id) — connected components over the MinHash-LSH
     near-dup graph; cluster_id = min doc_id in the component (the doc a
     dedup pipeline keeps). See ``connected_components`` for the
     label-propagation core and its convergence guarantee."""
-    pairs = dedup_minhash_lsh(documents, num_hashes, band_size, min_est).select("a", "b")
+    pairs = dedup_minhash_lsh(
+        documents, num_hashes, band_size, min_est, reuse_sigs
+    ).select("a", "b")
     return connected_components(documents.select("doc_id"), pairs, max_iters)
 
 

@@ -519,14 +519,16 @@ NEARDUP_TABLES = 12
 NEARDUP_BITS = 3
 
 
-def neardup_hyperplanes() -> list[list[list[int]]]:
+def neardup_hyperplanes(
+    n_tables: int = NEARDUP_TABLES, n_bits: int = NEARDUP_BITS
+) -> list[list[list[int]]]:
     """[table][plane][dim] ±1 hyperplanes from md5("nd<t>:<p>:<i>")
     parity — driver-derived so Spark and the DuckDB oracle use
     byte-identical planes (same scheme as ``hyperplanes``)."""
     tables = []
-    for t in range(NEARDUP_TABLES):
+    for t in range(n_tables):
         tbl = []
-        for p in range(NEARDUP_BITS):
+        for p in range(n_bits):
             row = []
             for i in range(DIM):
                 digest = hashlib.md5(f"nd{t}:{p}:{i}".encode()).hexdigest()
@@ -536,10 +538,21 @@ def neardup_hyperplanes() -> list[list[list[int]]]:
     return tables
 
 
-def embedding_lsh_entries(embeddings: DataFrame) -> DataFrame:
+def embedding_lsh_entries(
+    embeddings: DataFrame,
+    n_tables: int = NEARDUP_TABLES,
+    n_bits: int = NEARDUP_BITS,
+) -> DataFrame:
     """(vec_id, t, bucket) long-form multi-table LSH index: one row per
-    (vector, table). Per-row expressions only — no shuffle."""
-    tables = neardup_hyperplanes()
+    (vector, table). Per-row expressions only — no shuffle.
+
+    ``n_tables``/``n_bits`` tune the recall/candidate tradeoff: more
+    bits → fewer false candidates per table, more tables → higher
+    recall (1 - (1 - p^bits)^tables for per-plane agreement p). The
+    3-bit default suits the tiny oracle fixture's 0.35 threshold; at a
+    realistic 0.9 threshold and 100k+ vectors use ~12 bits × 16 tables
+    (see tools/stress_dedup.py measurements in BENCH.md)."""
+    tables = neardup_hyperplanes(n_tables, n_bits)
     v = _emb()
     entries = []
     for t, tbl in enumerate(tables):
@@ -558,7 +571,10 @@ def embedding_lsh_entries(embeddings: DataFrame) -> DataFrame:
 
 
 def dedup_embedding_cosine_lsh(
-    embeddings: DataFrame, threshold: float = NEAR_DUP_COSINE
+    embeddings: DataFrame,
+    threshold: float = NEAR_DUP_COSINE,
+    n_tables: int = NEARDUP_TABLES,
+    n_bits: int = NEARDUP_BITS,
 ) -> DataFrame:
     """Scale path for embedding near-dup (round-1 verdict item 2): the
     all-pairs exact op is O(n²); here candidates come from an EQUI-join
@@ -566,7 +582,7 @@ def dedup_embedding_cosine_lsh(
     never on vectors — then only candidate pairs pay the exact cosine
     verify. Same threshold as ``dedup_embedding_cosine``, so the output
     is the recall-subset of the exact op's pairs."""
-    b = embedding_lsh_entries(embeddings)
+    b = embedding_lsh_entries(embeddings, n_tables, n_bits)
     x, y = b.alias("x"), b.alias("y")
     pairs = (
         x.join(
