@@ -36,18 +36,22 @@ from tripsu_spark.sources.transcripts import transcripts_from_events  # noqa: E4
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-# Prefix-compacted graph-table storage (plans/compact.py): fewer bytes
-# through the pre-write sort, parquet codec, page cache and pass-2
-# scans. Exact round-trip. Off by default on this box: the 100 MB test
-# table lives in page cache, so the substr/concat cost (~5%) has no IO
-# win to offset — flip on for genuinely IO-bound deployments.
-COMPACT = os.environ.get("SPARK_GRAFT_COMPACT", "0") == "1"
+# Compact graph-table storage level (plans/compact.py): 1 = prefix
+# codes, 2 = prefix codes + dictionary-coded kind/predicate/datatype
+# tinyints. Fewer bytes through the pre-write sort, parquet codec,
+# page cache and pass-2 scans. Exact round-trip. Off by default on
+# this box: the 100 MB test table lives in page cache, so the
+# substr/concat cost (~5%) has no IO win to offset — flip on for
+# genuinely IO-bound deployments (see BENCH.md cold-read numbers).
+COMPACT = int(os.environ.get("SPARK_GRAFT_COMPACT", "0"))
 
 
 def _store(df):
+    """Apply the storage level. Callers compute pred_part BEFORE this
+    (level 2 dictionary-codes the predicate column away)."""
     from tripsu_spark.plans.compact import compact_triples
 
-    return compact_triples(df) if COMPACT else df
+    return compact_triples(df, level=COMPACT) if COMPACT else df
 
 
 def _load(df):
@@ -81,8 +85,11 @@ def pipeline_stages(spark, sf_dir, workdir):
 
     def q_extract_write():
         (
-            _store(extract_triples(transcripts))
-            .withColumn("pred_part", predicate_partition_col())
+            _store(
+                extract_triples(transcripts).withColumn(
+                    "pred_part", predicate_partition_col()
+                )
+            )
             .write.mode("overwrite")
             .partitionBy("pred_part")
             .parquet(graph_path)
@@ -135,8 +142,11 @@ def flagship_rows_and_time(spark, sf_dir, workdir) -> tuple[int, float]:
     shutil.rmtree(graph_path, ignore_errors=True)
     t0 = time.perf_counter()
     (
-        _store(extract_triples(transcripts))
-        .withColumn("pred_part", predicate_partition_col())
+        _store(
+            extract_triples(transcripts).withColumn(
+                "pred_part", predicate_partition_col()
+            )
+        )
         .write.mode("overwrite")
         .partitionBy("pred_part")
         .parquet(graph_path)
@@ -225,8 +235,11 @@ def scaling_rows_and_time(spark, workdir) -> tuple[int, float]:
     shutil.rmtree(graph_path, ignore_errors=True)
     t0 = time.perf_counter()
     (
-        _store(extract_triples(transcripts))
-        .withColumn("pred_part", predicate_partition_col())
+        _store(
+            extract_triples(transcripts).withColumn(
+                "pred_part", predicate_partition_col()
+            )
+        )
         .write.mode("overwrite")
         .partitionBy("pred_part")
         .parquet(graph_path)

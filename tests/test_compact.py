@@ -3,7 +3,12 @@
 from pyspark.sql import functions as F
 
 from tripsu_spark.operators.extract import extract_triples
-from tripsu_spark.plans.compact import compact_triples, expand_triples
+from tripsu_spark.plans.compact import (
+    compact_triples,
+    expand_triples,
+    expand_triples2,
+    maybe_expand,
+)
 from tripsu_spark.sources.transcripts import synthetic_transcripts
 
 
@@ -46,3 +51,71 @@ def test_compaction_actually_shrinks_minted_values(spark):
     ).collect()[0]
     assert row["sc"] < orig["so"] - 15
     assert row["pc"] < orig["po"] - 15
+
+
+def test_level2_round_trip_on_minted_triples(spark):
+    triples = extract_triples(synthetic_transcripts(spark, n_convs=30, turns_per_conv=5))
+    c = compact_triples(triples, level=2)
+    assert _as_set(expand_triples2(c)) == _as_set(triples)
+    # every minted predicate is in-dictionary: no fallback strings stored
+    row = c.agg(
+        F.count(F.when(F.col("p_code") == 0, 1)).alias("fallback_preds"),
+        F.count(F.col("o_datatype")).alias("fallback_dts"),
+    ).collect()[0]
+    assert row["fallback_preds"] == 0
+    assert row["fallback_dts"] == 0
+
+
+def test_level2_round_trip_on_foreign_values(spark):
+    """Foreign predicates/datatypes/IRIs take the verbatim fallback
+    columns and round-trip exactly."""
+    rows = [
+        ("iri", "http://other.org/x", "http://other.org/pred", "iri", "http://other.org/y", None, None),
+        ("blank", "b0", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "iri", "http://example.org/kg/Turn", None, None),
+        ("iri", "http://example.org/kg/turn/c/1", "http://example.org/kg/hasText", "literal", "free text", None, "en"),
+        ("iri", "http://example.org/kg/conv/c", "http://example.org/kg/ts", "literal", "2024-01-01T00:00:00", "http://www.w3.org/2001/XMLSchema#dateTime", None),
+        ("iri", "http://example.org/kg/x", "http://example.org/kg/other", "literal", "7", "http://example.org/kg/customType", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "s_kind string, s_value string, predicate string, o_kind string, "
+        "o_value string, o_datatype string, o_lang string",
+    )
+    assert _as_set(expand_triples2(compact_triples(df, level=2))) == _as_set(df)
+    assert _as_set(maybe_expand(compact_triples(df, level=2))) == _as_set(df)
+
+
+def test_level2_passthrough_extra_columns(spark):
+    """Non-triple columns (e.g. a precomputed pred_part partition
+    column) flow through compaction and expansion untouched."""
+    from tripsu_spark.plans.lineage import predicate_partition_col
+
+    triples = extract_triples(
+        synthetic_transcripts(spark, n_convs=10, turns_per_conv=3)
+    ).withColumn("pred_part", predicate_partition_col())
+    c = compact_triples(triples, level=2)
+    assert "pred_part" in c.columns
+    out = maybe_expand(c)
+    assert _as_set(out) == _as_set(triples)
+
+
+def test_level2_narrower_stored_rows_than_level1(spark):
+    """The dict-coded frame stores tinyints where level 1 stores
+    strings: kind/predicate/datatype string bytes drop to zero for
+    in-vocabulary rows."""
+    triples = extract_triples(synthetic_transcripts(spark, n_convs=30, turns_per_conv=5))
+    c1 = compact_triples(triples, level=1)
+    c2 = compact_triples(triples, level=2)
+    b1 = c1.agg(
+        F.sum(
+            F.length("s_kind") + F.length("predicate") + F.length("o_kind")
+            + F.coalesce(F.length("o_datatype"), F.lit(0))
+        ).alias("b")
+    ).collect()[0]["b"]
+    b2 = c2.agg(
+        F.sum(
+            F.coalesce(F.length("predicate"), F.lit(0))
+            + F.coalesce(F.length("o_datatype"), F.lit(0))
+        ).alias("b")
+    ).collect()[0]["b"]
+    assert b2 == 0 and b1 > 0
