@@ -345,8 +345,9 @@ def run_scaling() -> dict:
     bench_md = Path("BENCH.md")
     if bench_md.exists() and os.environ.get("SPARK_GRAFT_NO_BENCH_MD") != "1":
         day = datetime.date.today().isoformat()
+        mode = f"local[{n}] vs local[{n4}]" + (f", storage L{COMPACT}" if COMPACT else "")
         row = (
-            f"| {day} | local[{n}] vs local[{n4}] | {SCALE_TURNS} turns "
+            f"| {day} | {mode} | {SCALE_TURNS} turns "
             f"| {thr_n} | {thr_4n} | {eff} |\n"
         )
         bench_md.write_text(bench_md.read_text() + row)
