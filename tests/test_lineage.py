@@ -168,3 +168,27 @@ def test_read_for_index_prunes_partitions(spark, setup):
     # every row really is rdf:type
     preds = {r["predicate"] for r in df.select("predicate").distinct().collect()}
     assert preds == {"http://www.w3.org/1999/02/22-rdf-syntax-ns#type"}
+
+
+def test_snapshot_level2_dictionary_storage(spark, setup):
+    """store_compact=2 (dictionary-coded tinyints) is a third physical
+    layout behind the same logical table: read() restores the identical
+    frame and checksums stay storage-format-invariant."""
+    transcripts, rules, hasher, path = setup
+    writer = GraphTableWriter(path + "-l2", n_buckets=2)
+    m2 = writer.run(
+        spark, transcripts, rules, hasher, snapshot_id="snap-L2", store_compact=2
+    )
+    plain = GraphTableWriter(path + "-l2-plain", n_buckets=2)
+    m0 = plain.run(spark, transcripts, rules, hasher)
+    assert {tuple(r) for r in writer.read(spark).collect()} == {
+        tuple(r) for r in plain.read(spark).collect()
+    }
+    for b, m in m0["buckets"].items():
+        assert m2["buckets"][b]["checksum"] == m["checksum"]
+    # the stored physical schema really is the dict-coded one
+    import pyspark.sql.functions as F  # noqa: N812
+
+    raw = spark.read.parquet(os.path.join(path + "-l2", "data"))
+    assert "s_kc" in raw.columns and "p_code" in raw.columns
+    assert raw.filter(F.col("p_code") == 0).count() == 0

@@ -187,7 +187,7 @@ class GraphTableWriter:
         snapshot_id: str | None = None,
         fail_after_bucket: int | None = None,
         overwrite: bool = False,
-        store_compact: bool = False,
+        store_compact: bool | int = False,
     ) -> dict:
         """Process every uncommitted bucket; returns metrics dict.
 
@@ -198,10 +198,11 @@ class GraphTableWriter:
 
         ``overwrite=True`` starts a NEW table version (fresh data dirs;
         prior snapshots stay readable via ``read(as_of=...)``).
-        ``store_compact=True`` stores this version prefix-compacted
-        (plans/compact.py) — a PHYSICAL schema change; ``read`` restores
-        the identical logical frame, and checksums are computed on the
-        logical frame so they are storage-format-invariant.
+        ``store_compact`` stores this version compacted
+        (plans/compact.py; True/1 = prefix codes, 2 = + dictionary-coded
+        kind/predicate/datatype tinyints) — a PHYSICAL schema change;
+        ``read`` restores the identical logical frame, and checksums are
+        computed on the logical frame so they are storage-format-invariant.
         """
         snapshot_id = snapshot_id or f"snap-{int(time.time() * 1000)}"
         if overwrite and (self.committed_buckets() or self.snapshots()):
@@ -258,14 +259,19 @@ class GraphTableWriter:
         for bucket, triples, quarantine in units:
             if bucket in done:
                 continue
-            out = pseudonymize(triples, index_df, rules, hasher)
+            out = pseudonymize(triples, index_df, rules, hasher).withColumn(
+                "pred_part", predicate_partition_col()
+            )
             if store_compact:
                 from .compact import compact_triples
 
-                out = compact_triples(out)
+                # pred_part is computed BEFORE compaction (level 2
+                # dictionary-codes the predicate column away); it passes
+                # through compact_triples untouched.
+                out = compact_triples(out, level=int(store_compact))
             data_path = os.path.join(self.data_dir, f"bucket={bucket}")
             (
-                out.withColumn("pred_part", predicate_partition_col())
+                out
                 .write.mode("overwrite")
                 .partitionBy("pred_part")
                 .parquet(data_path)
