@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from tripsu_spark.crypto import Pseudonymizer  # noqa: E402
-from tripsu_spark.operators import dedup, multimodal, similarity, text  # noqa: E402
+from tripsu_spark.operators import curation, dedup, multimodal, similarity, text  # noqa: E402
 from tripsu_spark.operators.extract import dedupe_triples, extract_triples  # noqa: E402
 from tripsu_spark.operators.index import build_type_index, type_index_pairs  # noqa: E402
 from tripsu_spark.operators.masking import apply_masks  # noqa: E402
@@ -196,6 +196,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": lambda s, d: text.doc_fingerprint(_documents(s, d)),
         # --- multimodal (pandas-UDF decode plumbing, fake decode) ---
         "multimodal_features": lambda s, d: multimodal.multimodal_features(_documents(s, d)),
+        # --- curation / data mixing ---
+        "sample_stratified": lambda s, d: curation.sample_stratified(_documents(s, d)),
+        "cap_per_group": lambda s, d: curation.cap_per_group(_documents(s, d)),
+        "pack_sequences": lambda s, d: curation.pack_sequences(_documents(s, d)),
+        "mixture_plan": lambda s, d: curation.mixture_plan(_documents(s, d)),
     }
 
 
@@ -242,4 +247,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text.lang_id_oracle(),
         "doc_fingerprint": text.doc_fingerprint_oracle(),
         "multimodal_features": multimodal.multimodal_features_oracle(),
+        "sample_stratified": curation.sample_stratified_oracle(),
+        "cap_per_group": curation.cap_per_group_oracle(),
+        "pack_sequences": curation.pack_sequences_oracle(),
+        "mixture_plan": curation.mixture_plan_oracle(),
     }

@@ -1,0 +1,96 @@
+"""Curation / data-mixing operators: semantic properties + plan shape.
+(Cross-engine value equality is covered by the oracle harness; these
+tests pin the properties the oracle can't see.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tripsu_spark.operators.curation import (
+    cap_per_group,
+    mixture_plan,
+    pack_sequences,
+    sample_stratified,
+)
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet").cache()
+
+
+def test_sample_stratified_deterministic_and_calibrated(documents):
+    a = sample_stratified(documents)
+    b = sample_stratified(documents)
+    assert {r["doc_id"] for r in a.collect()} == {r["doc_id"] for r in b.collect()}
+    # per-stratum realized rate tracks the requested fraction
+    frac = {"en": 0.35, "de": 0.8, "es": 0.8, "fr": 0.8}
+    tot = {r["lang"]: r["n"] for r in documents.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, f in frac.items():
+        if tot.get(lang, 0) >= 50:
+            rate = got.get(lang, 0) / tot[lang]
+            assert abs(rate - f) < 0.15, (lang, rate, f)
+
+
+def test_sample_stratified_is_shuffle_free(documents):
+    plan = sample_stratified(documents)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_cap_per_group_keeps_top_n_longest(documents):
+    capped = cap_per_group(documents, n=3)
+    counts = capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= 3 for r in counts)
+    # the kept docs per group are exactly the 3 longest (ties by doc_id)
+    src = documents.select("source").first()["source"]
+    want = [
+        r["doc_id"]
+        for r in documents.filter(F.col("source") == src)
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(3)
+        .collect()
+    ]
+    got = [
+        r["doc_id"]
+        for r in capped.filter(F.col("source") == src).orderBy("rk").collect()
+    ]
+    assert got == want
+
+
+def test_pack_sequences_chunk_semantics(documents):
+    budget = 256
+    packed = pack_sequences(documents, budget=budget, n_buckets=2)
+    rows = packed.orderBy("source", "bucket", "doc_id").collect()
+    # recompute the running sum per partition and pin the start-offset rule
+    run: dict[tuple, int] = {}
+    packs: dict[tuple, int] = {}
+    for r in rows:
+        key = (r["source"], r["bucket"])
+        start = run.get(key, 0)
+        assert r["pack_id"] == start // budget, r
+        run[key] = start + min(r["n_tok"], budget)
+        packs[(key, r["pack_id"])] = packs.get((key, r["pack_id"]), 0) + min(
+            r["n_tok"], budget
+        )
+    # a pack overflows by at most one straddling doc: sum of capped
+    # tokens per pack < 2 * budget
+    assert all(v < 2 * budget for v in packs.values())
+    # and packing is space-efficient: pack ids are chunk indexes of the
+    # concatenated token stream, so there can't be more packs than
+    # budget-sized chunks (a chunk fully covered by a straddling doc
+    # simply gets no pack of its own)
+    for key, total in run.items():
+        n_packs = len({p for (k, p) in packs if k == key})
+        assert n_packs <= (total + budget - 1) // budget
+
+
+def test_mixture_plan_realizes_target(documents):
+    plan = mixture_plan(documents, total=200)
+    rows = plan.collect()
+    assert all(0.0 <= r["rate"] <= 1.0 for r in rows)
+    # expected sampled count per source = rate * n_docs ~ share * total
+    # (capped at the stratum size)
+    for r in rows:
+        if r["source"] in {"src0", "src1", "src2", "src3"}:
+            expect = min(0.25 * 200, r["n_docs"])
+            assert abs(r["rate"] * r["n_docs"] - expect) < 1.0, r

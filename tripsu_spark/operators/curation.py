@@ -1,0 +1,233 @@
+"""Data-curation / mixing operators over the ``documents`` table —
+the sampling-and-packing side of a training-data pipeline (the round-2
+families covered dedup/similarity/text; this module covers how a run
+DECIDES what goes into the mix and how it is sharded):
+
+- ``sample_stratified``: deterministic per-stratum sampling by md5-hex
+  threshold — reproducible across engines and runs, shuffle-free (a
+  pure row filter; no RNG state, no seed synchronization across
+  executors).
+- ``cap_per_group``: quota capping — keep the top-N rows per group by
+  an explicit deterministic order (window row_number).
+- ``pack_sequences``: greedy-by-order sequence packing — assign docs
+  to fixed-token-budget shards per (source, bucket) via a running-sum
+  window; the bucket bound keeps window partitions executor-sized at
+  any corpus scale.
+- ``mixture_plan``: per-source sampling rates that realize a target
+  mixture given observed counts (one tiny aggregate).
+
+All pure Catalyst; each op ships its DuckDB oracle SQL. Scale notes
+inline per op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Default per-language sampling fractions (demo mixture: oversample
+# the tail languages, downsample English).
+DEFAULT_FRACTIONS = {"en": 0.35, "de": 0.8, "es": 0.8, "fr": 0.8}
+
+_HEX_DIGITS = 8  # threshold resolution: 16^8 buckets
+
+
+def _threshold_hex(fraction: float) -> str:
+    """fraction in [0,1] -> lowercase hex threshold string such that
+    P(md5_prefix < threshold) == round(fraction * 16^8) / 16^8 exactly,
+    in any engine that computes md5 (the prefix is uniform)."""
+    buckets = 16 ** _HEX_DIGITS
+    return format(min(int(fraction * buckets), buckets - 1), f"0{_HEX_DIGITS}x")
+
+
+def sample_stratified(
+    documents: DataFrame, fractions: dict[str, float] | None = None
+) -> DataFrame:
+    """Deterministic stratified sample: keep a doc iff the first 8 hex
+    chars of md5('<lang>:<doc_id>') are below the stratum's threshold.
+
+    100 TB: a narrow scan + filter — no shuffle, no RNG, no driver
+    state; the sample is a pure function of (doc_id, lang, fractions),
+    so re-runs, retries and speculative tasks all agree, and the
+    filter composes with predicate pushdown on everything else.
+    """
+    fractions = DEFAULT_FRACTIONS if fractions is None else fractions
+    key = F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("doc_id").cast("string")))
+    prefix = F.substring(key, 1, _HEX_DIGITS)
+    threshold = F.lit(None).cast("string")
+    for lang, frac in sorted(fractions.items()):
+        threshold = F.when(F.col("lang") == lang, F.lit(_threshold_hex(frac))).otherwise(
+            threshold
+        )
+    return (
+        documents.withColumn("_thr", threshold)
+        .filter(F.col("_thr").isNotNull() & (prefix < F.col("_thr")))
+        .select("doc_id", "lang", "source")
+    )
+
+
+def sample_stratified_oracle(fractions: dict[str, float] | None = None) -> str:
+    fractions = DEFAULT_FRACTIONS if fractions is None else fractions
+    cases = " ".join(
+        f"WHEN '{lang}' THEN '{_threshold_hex(frac)}'"
+        for lang, frac in sorted(fractions.items())
+    )
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, {_HEX_DIGITS})
+      < (CASE lang {cases} END)
+"""
+
+
+def cap_per_group(documents: DataFrame, n: int = 5) -> DataFrame:
+    """Quota capping: keep at most ``n`` docs per source, preferring
+    longer docs (n_chars DESC), doc_id as the deterministic tiebreak.
+
+    100 TB: one shuffle on the group key. A heavily skewed group
+    (one domain = half the corpus) bottlenecks the window — for that
+    shape, pre-filter with an approximate per-group threshold
+    (approx_percentile on n_chars) so the exact window only ranks the
+    survivors. Not needed at test scale; the plan is the standard one.
+    """
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        documents.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= n)
+        .select("doc_id", "source", "n_chars", "rk")
+    )
+
+
+def cap_per_group_oracle(n: int = 5) -> str:
+    return f"""
+SELECT doc_id, source, n_chars, rk
+FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+  FROM documents
+)
+WHERE rk <= {n}
+"""
+
+
+def pack_sequences(
+    documents: DataFrame, budget: int = 256, n_buckets: int = 4
+) -> DataFrame:
+    """Sequence packing, concat-and-chunk style (the GPT-pretraining
+    shape): docs are laid out in doc_id order within each (source,
+    bucket) partition and the token stream is cut every ``budget``
+    tokens (~4 chars/token heuristic); a doc belongs to the pack its
+    START offset falls in, so a pack can run over by at most the one
+    doc that straddles its boundary — the semantics of training
+    pipelines that concatenate then split, NOT strict bin packing
+    (which is a sequential recurrence; if hard caps are required, run
+    the capped docs through an applyInPandas greedy pass per bucket).
+
+    pack_id = floor(exclusive-running-sum(capped_tokens) / budget),
+    with tokens capped at the budget so an oversized doc advances the
+    running sum exactly one pack. Deterministic and window-exact.
+
+    100 TB: the only shuffle keys on (source, bucket) — ``n_buckets``
+    bounds every window partition to corpus_size/(sources*buckets)
+    regardless of skew, so raise it with the corpus (it only relabels
+    which packs docs share, it never breaks the budget invariant).
+    """
+    tokens = F.ceil(F.col("n_chars") / 4.0).cast("bigint")
+    capped = F.least(tokens, F.lit(budget).cast("bigint"))
+    bucket = F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("bigint")
+    d = documents.select(
+        "doc_id",
+        "source",
+        tokens.alias("n_tok"),
+        capped.alias("_cap"),
+        bucket.alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = F.coalesce(F.sum("_cap").over(w), F.lit(0).cast("bigint"))
+    return d.select(
+        "doc_id",
+        "source",
+        "bucket",
+        "n_tok",
+        F.floor(run / budget).cast("bigint").alias("pack_id"),
+    )
+
+
+def pack_sequences_oracle(budget: int = 256, n_buckets: int = 4) -> str:
+    return f"""
+SELECT doc_id, source, bucket, n_tok,
+       CAST(floor(run / {budget}) AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id, source, bucket, n_tok,
+         COALESCE(SUM(cap) OVER (PARTITION BY source, bucket ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+  FROM (
+    SELECT doc_id, source,
+           CAST(doc_id % {n_buckets} AS BIGINT) AS bucket,
+           CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tok,
+           LEAST(CAST(ceil(n_chars / 4.0) AS BIGINT), {budget}) AS cap
+    FROM documents
+  )
+)
+"""
+
+
+# Target mixture shares by source prefix (demo: equal shares).
+DEFAULT_TARGET = {"src0": 0.25, "src1": 0.25, "src2": 0.25, "src3": 0.25}
+
+
+def mixture_plan(
+    documents: DataFrame,
+    target: dict[str, float] | None = None,
+    total: int = 200,
+) -> DataFrame:
+    """Per-source sampling rates that realize a target mixture of
+    ``total`` docs given the observed per-source counts:
+    rate = min(1, target_share * total / count), rounded to 6 places.
+
+    100 TB: one map-side-combined count aggregate over a single narrow
+    column; the resulting (source, rate) table is broadcast back into
+    ``sample_stratified``-style filters. Sources absent from the
+    target get rate 0 (excluded from the mix).
+    """
+    target = DEFAULT_TARGET if target is None else target
+    share = F.lit(None).cast("double")
+    for src, sh in sorted(target.items()):
+        share = F.when(F.col("source") == src, F.lit(sh)).otherwise(share)
+    return (
+        documents.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                F.least(F.lit(1.0), F.coalesce(share, F.lit(0.0)) * total / F.col("n_docs")),
+                6,
+            ).alias("rate"),
+        )
+    )
+
+
+def mixture_plan_oracle(target: dict[str, float] | None = None, total: int = 200) -> str:
+    target = DEFAULT_TARGET if target is None else target
+    # CAST the share literals: bare 0.25 is DECIMAL in DuckDB, and
+    # decimal intermediate rounding diverges from Spark's doubles.
+    cases = " ".join(
+        f"WHEN '{src}' THEN CAST({sh} AS DOUBLE)" for src, sh in sorted(target.items())
+    )
+    return f"""
+SELECT source, n_docs,
+       round(LEAST(CAST(1.0 AS DOUBLE),
+                   COALESCE(CASE source {cases} END, CAST(0.0 AS DOUBLE))
+                   * {total} / n_docs), 6) AS rate
+FROM (
+  SELECT source, count(*) AS n_docs
+  FROM documents
+  GROUP BY source
+)
+"""
