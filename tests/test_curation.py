@@ -94,3 +94,9 @@ def test_mixture_plan_realizes_target(documents):
         if r["source"] in {"src0", "src1", "src2", "src3"}:
             expect = min(0.25 * 200, r["n_docs"])
             assert abs(r["rate"] * r["n_docs"] - expect) < 1.0, r
+
+
+def test_cap_per_group_salted_identical(documents):
+    direct = {tuple(r) for r in cap_per_group(documents, n=4).collect()}
+    salted = {tuple(r) for r in cap_per_group(documents, n=4, salt=8).collect()}
+    assert salted == direct

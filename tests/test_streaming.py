@@ -133,3 +133,38 @@ def test_streaming_pass2_pseudonymizes_with_restart(spark, tmp_path):
     q3.awaitTermination(120)
     again = {tuple(r) for r in spark.read.parquet(out_path).drop("batch").collect()}
     assert again == want
+
+
+def test_streaming_dedup_drops_duplicates_across_batches(spark, tmp_path):
+    """Two drops with duplicates inside and across them: the streaming
+    dedup emits each digest once; a restart with the same checkpoint
+    still remembers earlier digests (state in checkpoint)."""
+    import datetime as dt
+
+    from tripsu_spark.streaming.stream import run_dedup_stream_to_parquet
+
+    in_path, out_path = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def drop(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(in_path)
+
+    # drop 1: A A B  (duplicate within the batch window)
+    drop("d1", [(1, "text A", t0), (2, "text A", t0), (3, "text B", t0)])
+    q = run_dedup_stream_to_parquet(spark, in_path, out_path, ckpt)
+    q.awaitTermination()
+    first = spark.read.parquet(out_path)
+    assert sorted(r["text"] for r in first.collect()) == ["text A", "text B"]
+    assert {r["doc_id"] for r in first.collect()} == {1, 3}  # first wins
+
+    # drop 2 (restart, same checkpoint): A again within watermark + C
+    drop("d2", [(4, "text A", t0 + dt.timedelta(minutes=5)),
+                (5, "text C", t0 + dt.timedelta(minutes=5))])
+    q = run_dedup_stream_to_parquet(spark, in_path, out_path, ckpt)
+    q.awaitTermination()
+    final = spark.read.parquet(out_path)
+    assert sorted(r["text"] for r in final.collect()) == ["text A", "text B", "text C"]
+    assert {r["doc_id"] for r in final.collect()} == {1, 3, 5}

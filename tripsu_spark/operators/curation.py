@@ -80,17 +80,29 @@ WHERE substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, {_HEX_DIGITS})
 """
 
 
-def cap_per_group(documents: DataFrame, n: int = 5) -> DataFrame:
+def cap_per_group(documents: DataFrame, n: int = 5, salt: int | None = None) -> DataFrame:
     """Quota capping: keep at most ``n`` docs per source, preferring
     longer docs (n_chars DESC), doc_id as the deterministic tiebreak.
 
-    100 TB: one shuffle on the group key. A heavily skewed group
-    (one domain = half the corpus) bottlenecks the window — for that
-    shape, pre-filter with an approximate per-group threshold
-    (approx_percentile on n_chars) so the exact window only ranks the
-    survivors. Not needed at test scale; the plan is the standard one.
+    100 TB: one shuffle on the group key. A heavily skewed group (one
+    domain = half the corpus) bottlenecks the single window task — pass
+    ``salt=S`` for the two-phase shape: phase 1 ranks within
+    (source, pmod(doc_id, S)) so the skewed group spreads over S tasks
+    and each salted slice keeps its own top ``n``; phase 2 ranks the
+    <= S*n survivors per group exactly. The result is IDENTICAL to the
+    direct window for every input (the global top-n is contained in
+    the union of salted top-n's), so both shapes share one oracle —
+    tests/test_curation.py pins salted == unsalted.
     """
-    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+    if salt is not None:
+        w1 = Window.partitionBy(
+            "source", F.pmod(F.col("doc_id"), F.lit(salt))
+        ).orderBy(*order)
+        documents = documents.withColumn(
+            "_prk", F.row_number().over(w1)
+        ).filter(F.col("_prk") <= n)
+    w = Window.partitionBy("source").orderBy(*order)
     return (
         documents.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= n)
