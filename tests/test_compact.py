@@ -119,3 +119,32 @@ def test_level2_narrower_stored_rows_than_level1(spark):
         ).alias("b")
     ).collect()[0]["b"]
     assert b2 == 0 and b1 > 0
+
+
+def test_round_trip_adversarial_values(spark):
+    """Battery of boundary values through BOTH storage levels: values
+    equal to a known prefix, prefix doubled, dictionary-entry
+    near-misses (extra suffix / case change), empty-ish and escaped
+    strings, unicode. Exact frame equality required each way."""
+    KG = "http://example.org/kg/"
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows = [
+        # s_kind, s_value, predicate, o_kind, o_value, o_datatype, o_lang
+        ("iri", KG, KG + "hasText", "literal", KG, None, None),  # value == prefix
+        ("iri", KG + KG, RDF + "type", "iri", KG + KG + "x", None, None),  # doubled
+        ("iri", KG + "mentionCountX", KG + "mentionCount" + "X", "literal", "9", None, None),  # dict near-miss
+        ("iri", KG + "a", KG.upper() + "b", "iri", RDF.upper() + "type", None, None),  # case change = foreign
+        ("blank", "", KG + "ts", "literal", "", "", None),  # empty strings
+        ("iri", KG + 'q"\\\n\tz', KG + "hasText", "literal", 'esc"\\\npe', None, "en-US"),
+        ("iri", KG + "café/中文", KG + "mentions", "iri", KG + "user/ø", None, None),
+        ("literal", "not-an-iri-subject", RDF + "typeX", "literal", "v",
+         "http://www.w3.org/2001/XMLSchema#dateTimeX", None),  # datatype near-miss
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "s_kind string, s_value string, predicate string, o_kind string, "
+        "o_value string, o_datatype string, o_lang string",
+    )
+    for level in (1, 2):
+        got = _as_set(maybe_expand(compact_triples(df, level=level)))
+        assert got == _as_set(df), f"level {level}"
