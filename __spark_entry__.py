@@ -200,6 +200,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": lambda s, d: curation.sample_stratified(_documents(s, d)),
         "cap_per_group": lambda s, d: curation.cap_per_group(_documents(s, d)),
         "pack_sequences": lambda s, d: curation.pack_sequences(_documents(s, d)),
+        # strict bin packing is a sequential recurrence (applyInPandas)
+        # — not SQL-expressible, so no oracle_sql entry (rows-only check)
+        "pack_sequences_strict": lambda s, d: curation.pack_sequences_strict(
+            _documents(s, d)
+        ),
         "mixture_plan": lambda s, d: curation.mixture_plan(_documents(s, d)),
     }
 

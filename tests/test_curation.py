@@ -100,3 +100,30 @@ def test_cap_per_group_salted_identical(documents):
     direct = {tuple(r) for r in cap_per_group(documents, n=4).collect()}
     salted = {tuple(r) for r in cap_per_group(documents, n=4, salt=8).collect()}
     assert salted == direct
+
+
+def test_pack_sequences_strict_properties(documents):
+    from tripsu_spark.operators.curation import pack_sequences_strict
+
+    budget = 256
+    packed = pack_sequences_strict(documents, budget=budget, n_buckets=2)
+    rows = packed.orderBy("source", "bucket", "doc_id").collect()
+    # hard cap: sum of capped tokens per pack NEVER exceeds the budget
+    packs: dict[tuple, int] = {}
+    for r in rows:
+        key = (r["source"], r["bucket"], r["pack_id"])
+        packs[key] = packs.get(key, 0) + min(r["n_tok"], budget)
+    assert all(v <= budget for v in packs.values())
+    # greedy first-fit-in-order: replay the recurrence and match exactly
+    state: dict[tuple, tuple[int, int]] = {}
+    for r in rows:
+        key = (r["source"], r["bucket"])
+        cur, used = state.get(key, (0, 0))
+        tok = min(r["n_tok"], budget)
+        if used and used + tok > budget:
+            cur, used = cur + 1, 0
+        assert r["pack_id"] == cur, r
+        state[key] = (cur, used + tok)
+    # deterministic across runs
+    again = {tuple(r) for r in pack_sequences_strict(documents, budget=budget, n_buckets=2).collect()}
+    assert again == {tuple(r) for r in rows}

@@ -243,3 +243,48 @@ FROM (
   GROUP BY source
 )
 """
+
+
+PACK_STRICT_SCHEMA = (
+    "doc_id bigint, source string, bucket bigint, n_tok bigint, pack_id bigint"
+)
+
+
+def pack_sequences_strict(
+    documents: DataFrame, budget: int = 256, n_buckets: int = 4
+) -> DataFrame:
+    """Strict first-fit-in-order packing: unlike ``pack_sequences``
+    (concat-and-chunk), a pack NEVER exceeds ``budget`` tokens — a doc
+    that would overflow the current pack closes it and opens the next;
+    a doc >= budget gets a pack of its own. This is a sequential
+    recurrence (each decision depends on the running remainder), which
+    no window function expresses, so it runs as an ``applyInPandas``
+    pass per (source, bucket) group — the same bucket bound that keeps
+    window partitions executor-sized bounds each pandas group, and the
+    per-group state is two integers.
+
+    Not SQL-expressible without recursion -> no DuckDB oracle entry;
+    correctness is pinned by property tests (hard cap, greedy
+    minimality, determinism) in tests/test_curation.py.
+    """
+    import pandas as pd
+
+    tokens = F.ceil(F.col("n_chars") / 4.0).cast("bigint")
+    bucket = F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("bigint")
+    d = documents.select(
+        "doc_id", "source", tokens.alias("n_tok"), bucket.alias("bucket")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, cur, used = [], 0, 0
+        for tok in pdf["n_tok"]:
+            tok = min(int(tok), budget)
+            if used and used + tok > budget:
+                cur, used = cur + 1, 0
+            pack_ids.append(cur)
+            used += tok
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        return pdf[["doc_id", "source", "bucket", "n_tok", "pack_id"]]
+
+    return d.groupBy("source", "bucket").applyInPandas(pack, PACK_STRICT_SCHEMA)
