@@ -43,7 +43,13 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # this box: the 100 MB test table lives in page cache, so the
 # substr/concat cost (~5%) has no IO win to offset — flip on for
 # genuinely IO-bound deployments (see BENCH.md cold-read numbers).
-COMPACT = int(os.environ.get("SPARK_GRAFT_COMPACT", "0"))
+_compact_env = os.environ.get("SPARK_GRAFT_COMPACT", "0").strip() or "0"
+if _compact_env not in ("0", "1", "2"):
+    raise SystemExit(
+        f"SPARK_GRAFT_COMPACT must be 0, 1 or 2 (got {_compact_env!r}): "
+        "0 standard, 1 prefix-compacted, 2 dictionary-coded"
+    )
+COMPACT = int(_compact_env)
 
 
 def _store(df):

@@ -127,3 +127,27 @@ def test_pack_sequences_strict_properties(documents):
     # deterministic across runs
     again = {tuple(r) for r in pack_sequences_strict(documents, budget=budget, n_buckets=2).collect()}
     assert again == {tuple(r) for r in rows}
+
+
+def test_sample_stratified_keep_all_fraction(documents, spark):
+    """fraction >= 1.0 keeps EVERY doc in the stratum (the 'g' sentinel
+    threshold sits above every hex prefix)."""
+    from tripsu_spark.operators.curation import _threshold_hex
+
+    assert _threshold_hex(1.0) == "g"
+    out = sample_stratified(documents, {"en": 1.0})
+    n_en = documents.filter(F.col("lang") == "en").count()
+    assert out.count() == n_en
+
+
+def test_pack_sequences_strict_null_tokens(spark):
+    from tripsu_spark.operators.curation import pack_sequences_strict
+
+    df = spark.createDataFrame(
+        [(1, "s", 100), (2, "s", None), (3, "s", 2000)],
+        "doc_id bigint, source string, n_chars bigint",
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences_strict(df, budget=256, n_buckets=1).collect()}
+    assert rows[2]["n_tok"] is None  # NULL stays NULL (window-sibling contract)
+    assert rows[2]["pack_id"] == rows[1]["pack_id"]  # consumes 0 budget
+    assert rows[3]["pack_id"] == rows[1]["pack_id"] + 1  # capped doc opens next pack

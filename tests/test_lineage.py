@@ -192,3 +192,20 @@ def test_snapshot_level2_dictionary_storage(spark, setup):
     raw = spark.read.parquet(os.path.join(path + "-l2", "data"))
     assert "s_kc" in raw.columns and "p_code" in raw.columns
     assert raw.filter(F.col("p_code") == 0).count() == 0
+
+
+def test_resume_refuses_storage_level_mismatch(spark, setup):
+    """An interrupted run resumed with a different --store-compact must
+    refuse instead of writing mixed physical schemas into one version."""
+    transcripts, rules, hasher, path = setup
+    writer = GraphTableWriter(path + "-mix", n_buckets=3)
+    with pytest.raises(RuntimeError):
+        writer.run(
+            spark, transcripts, rules, hasher,
+            store_compact=2, fail_after_bucket=0,
+        )
+    with pytest.raises(ValueError, match="storage-level mismatch"):
+        writer.run(spark, transcripts, rules, hasher)  # default level 0
+    # resuming at the committed level completes cleanly
+    metrics = writer.run(spark, transcripts, rules, hasher, store_compact=2)
+    assert metrics["skipped"] == [0]

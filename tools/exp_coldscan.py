@@ -28,14 +28,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def drop_caches() -> None:
-    subprocess.run(["sync"], check=True)
-    Path("/proc/sys/vm/drop_caches").write_text("3")
-
-
-def du_bytes(path: str) -> int:
-    out = subprocess.run(["du", "-sb", path], capture_output=True, text=True, check=True)
-    return int(out.stdout.split()[0])
+from _exputil import drop_caches, du_bytes  # noqa: E402
 
 
 def main() -> None:

@@ -35,9 +35,16 @@ _HEX_DIGITS = 8  # threshold resolution: 16^8 buckets
 def _threshold_hex(fraction: float) -> str:
     """fraction in [0,1] -> lowercase hex threshold string such that
     P(md5_prefix < threshold) == round(fraction * 16^8) / 16^8 exactly,
-    in any engine that computes md5 (the prefix is uniform)."""
+    in any engine that computes md5 (the prefix is uniform).
+
+    fraction >= 1 returns "g": lexicographically above every hex
+    string, so a keep-everything stratum really keeps everything (an
+    8-hex cap would silently drop the ~1-in-2^32 docs whose prefix is
+    "ffffffff" — guaranteed losses at 10^12 docs)."""
     buckets = 16 ** _HEX_DIGITS
-    return format(min(int(fraction * buckets), buckets - 1), f"0{_HEX_DIGITS}x")
+    if fraction >= 1.0:
+        return "g"
+    return format(round(fraction * buckets), f"0{_HEX_DIGITS}x")
 
 
 def sample_stratified(
@@ -277,9 +284,13 @@ def pack_sequences_strict(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        # nullable Int64: a NULL n_chars row keeps n_tok NULL in the
+        # output and consumes 0 budget — the same contract as the
+        # window sibling, where SUM skips NULLs.
+        pdf["n_tok"] = pdf["n_tok"].astype("Int64")
         pack_ids, cur, used = [], 0, 0
         for tok in pdf["n_tok"]:
-            tok = min(int(tok), budget)
+            tok = 0 if pd.isna(tok) else min(int(tok), budget)
             if used and used + tok > budget:
                 cur, used = cur + 1, 0
             pack_ids.append(cur)

@@ -7,13 +7,12 @@ Storing full IRIs per row makes the materialized graph table carry
 pre-write sort, the parquet encoder, the page cache, and every pass-2
 scan. At 10^12 turns that is tens of terabytes of pure prefix.
 
-Two storage levels, both exact round-trips for any input whose kind
-columns hold the schema's closed enum ('iri'|'blank'|'literal',
-schemas.py / reference rdf_types.rs:16-69 — enforced at every parse
-boundary); predicates, datatypes and IRIs outside the engine-minted
-vocabulary pass through verbatim via fallback columns. This is a
-storage-layer change, not a semantic one; tests/test_compact.py
-asserts frame equality on minted AND foreign inputs:
+Two storage levels, both exact round-trips for ANY input: kinds,
+predicates, datatypes and IRIs outside the engine-minted vocabulary
+pass through verbatim via fallback columns (all-NULL, hence ~free,
+for in-vocabulary rows). This is a storage-layer change, not a
+semantic one; tests/test_compact.py asserts frame equality on minted
+AND foreign inputs:
 
 - Level 1 (``compact_triples``): strip known IRI prefixes into tiny
   code columns (RLE-encoded to ~nothing by parquet).
@@ -78,8 +77,8 @@ DT_DICT = [(1, XSD_DATETIME), (2, XSD_INTEGER)]
 _DT_NULL_CODE = -1
 
 COMPACT2_COLS = [
-    "s_kc", "s_value", "s_pfx", "p_code", "predicate", "p_pfx",
-    "o_kc", "o_value", "o_pfx", "o_dc", "o_datatype", "o_lang",
+    "s_kc", "s_kind", "s_value", "s_pfx", "p_code", "predicate", "p_pfx",
+    "o_kc", "o_kind", "o_value", "o_pfx", "o_dc", "o_datatype", "o_lang",
 ]
 
 
@@ -133,6 +132,8 @@ def compact_triples(triples: DataFrame, level: int = 1) -> DataFrame:
     level=1: prefix codes only.  level=2: prefix codes + dictionary-
     coded kind/predicate/datatype tinyints.
     """
+    if level not in (1, 2):
+        raise ValueError(f"storage level must be 1 or 2, got {level!r}")
     s_v, s_c = _strip(F.col("s_value"))
     p_v, p_c = _strip(F.col("predicate"))
     o_v, o_c = _strip(F.col("o_value"))
@@ -154,8 +155,12 @@ def compact_triples(triples: DataFrame, level: int = 1) -> DataFrame:
             F.col("o_lang"),
             *extra,
         )
-    s_kc, _ = _encode(F.col("s_kind"), KIND_DICT)
-    o_kc, _ = _encode(F.col("o_kind"), KIND_DICT)
+    # Kinds are a closed enum at every parse boundary, but the fallback
+    # columns are kept anyway (all-NULL for valid input, ~free in
+    # parquet): a frame that somehow carries a foreign kind round-trips
+    # verbatim instead of being silently corrupted on expand.
+    s_kc, s_kf = _encode(F.col("s_kind"), KIND_DICT)
+    o_kc, o_kf = _encode(F.col("o_kind"), KIND_DICT)
     # Full-IRI predicate dictionary: in-vocabulary predicates store ONE
     # tinyint (no suffix string at all); foreign ones fall back to the
     # level-1 prefix-stripped representation.
@@ -167,12 +172,14 @@ def compact_triples(triples: DataFrame, level: int = 1) -> DataFrame:
         dt_code = F.when(F.col("o_datatype") == s, F.lit(c)).otherwise(dt_code)
     return triples.select(
         s_kc.alias("s_kc"),
+        s_kf.alias("s_kind"),
         s_v.alias("s_value"),
         s_c.alias("s_pfx"),
         pr_code.alias("p_code"),
         F.when(pr_code == 0, p_v).alias("predicate"),
         F.when(pr_code == 0, p_c).otherwise(F.lit(0)).cast("tinyint").alias("p_pfx"),
         o_kc.alias("o_kc"),
+        o_kf.alias("o_kind"),
         o_value,
         o_pfx,
         dt_code.cast("tinyint").alias("o_dc"),
@@ -215,10 +222,10 @@ def expand_triples2(compact: DataFrame) -> DataFrame:
         _decode(F.col("o_dc"), F.col("o_datatype"), DT_DICT)
     )
     return compact.select(
-        _decode(F.col("s_kc"), F.col("s_kc").cast("string"), KIND_DICT).alias("s_kind"),
+        _decode(F.col("s_kc"), F.col("s_kind"), KIND_DICT).alias("s_kind"),
         _restore(F.col("s_value"), F.col("s_pfx")).alias("s_value"),
         pred.alias("predicate"),
-        _decode(F.col("o_kc"), F.col("o_kc").cast("string"), KIND_DICT).alias("o_kind"),
+        _decode(F.col("o_kc"), F.col("o_kind"), KIND_DICT).alias("o_kind"),
         _restore(F.col("o_value"), F.col("o_pfx")).alias("o_value"),
         o_dt.alias("o_datatype"),
         F.col("o_lang"),

@@ -228,6 +228,22 @@ class GraphTableWriter:
         index_df = spark.read.parquet(index_path)
 
         done = self.committed_buckets()
+        # A table version must be one physical layout: resuming with a
+        # different --store-compact than the committed buckets would
+        # write mixed schemas into one version and read() would return
+        # silently wrong triples (schema union, no error). Refuse.
+        for b in sorted(done, key=str):
+            with open(self._manifest_path(b)) as fh:
+                committed_level = json.load(fh).get("storage_level", 0)
+            if committed_level != int(store_compact):
+                raise ValueError(
+                    f"resume storage-level mismatch: bucket {b} of this table "
+                    f"version was committed at storage level {committed_level}, "
+                    f"but this run requested {int(store_compact)}; rerun with "
+                    f"store_compact={committed_level}, or start a new version "
+                    f"with overwrite=True"
+                )
+            break  # all buckets of a version share one level; checking one suffices
         metrics: dict = {"snapshot_id": snapshot_id, "buckets": {}, "skipped": sorted(done, key=str)}
         # null conv_id (a quarantine case) hashes to bucket 0 so every
         # malformed row still has a deterministic home bucket.
@@ -292,6 +308,7 @@ class GraphTableWriter:
                 "row_count": n,
                 "checksum": checksum,
                 "quarantined": n_bad,
+                "storage_level": int(store_compact),
             })
             metrics["buckets"][str(bucket)] = {
                 "rows": n, "checksum": checksum, "quarantined": n_bad
