@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _documents(s, d)
         ),
         "mixture_plan": lambda s, d: curation.mixture_plan(_documents(s, d)),
+        "apply_mixture": lambda s, d: curation.apply_mixture(_documents(s, d)),
     }
 
 
@@ -256,4 +257,5 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_group": curation.cap_per_group_oracle(),
         "pack_sequences": curation.pack_sequences_oracle(),
         "mixture_plan": curation.mixture_plan_oracle(),
+        "apply_mixture": curation.apply_mixture_oracle(),
     }

@@ -151,3 +151,23 @@ def test_pack_sequences_strict_null_tokens(spark):
     assert rows[2]["n_tok"] is None  # NULL stays NULL (window-sibling contract)
     assert rows[2]["pack_id"] == rows[1]["pack_id"]  # consumes 0 budget
     assert rows[3]["pack_id"] == rows[1]["pack_id"] + 1  # capped doc opens next pack
+
+
+def test_apply_mixture_realizes_plan(documents):
+    from tripsu_spark.operators.curation import apply_mixture
+
+    # rates below 1: 500 docs over 20 sources, target 40 total over 4
+    # sources -> rate 0.4 per targeted source (25 docs each)
+    out = apply_mixture(documents, total=40)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"src0", "src1", "src2", "src3"}
+    for src, n in counts.items():
+        assert abs(n - 10) <= 6, (src, n)  # 0.4 * 25 = 10 expected
+    # deterministic
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in apply_mixture(documents, total=40).collect()
+    }
+    # plan shape: the rate table joins via broadcast, no shuffle join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

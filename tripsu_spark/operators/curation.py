@@ -299,3 +299,44 @@ def pack_sequences_strict(
         return pdf[["doc_id", "source", "bucket", "n_tok", "pack_id"]]
 
     return d.groupBy("source", "bucket").applyInPandas(pack, PACK_STRICT_SCHEMA)
+
+
+def apply_mixture(
+    documents: DataFrame,
+    target: dict[str, float] | None = None,
+    total: int = 200,
+) -> DataFrame:
+    """Apply a ``mixture_plan``: broadcast the tiny (source, rate)
+    table back onto the corpus and keep each doc with its source's
+    rate, deterministically — the md5 prefix of 'mix:<doc_id>' parsed
+    as an integer is compared against rate * 2^32 (both engines promote
+    to double; integers below 2^53 are exact).
+
+    plan -> apply composes into: one aggregate + one broadcast join +
+    a shuffle-free filter. At 100 TB the plan side is bytes-sized, the
+    join is always broadcast, and the filter prunes with everything
+    else. The 'mix:' salt keeps this draw independent of
+    ``sample_stratified``'s (composing the two does not correlate).
+    """
+    plan = mixture_plan(documents, target, total)
+    prefix = F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, _HEX_DIGITS
+    )
+    draw = F.conv(prefix, 16, 10).cast("bigint")
+    return (
+        documents.join(F.broadcast(plan.select("source", "rate")), "source")
+        .filter(draw < F.col("rate") * (16 ** _HEX_DIGITS))
+        .select("doc_id", "source", "lang")
+    )
+
+
+def apply_mixture_oracle(target: dict[str, float] | None = None, total: int = 200) -> str:
+    plan_sql = mixture_plan_oracle(target, total).strip()
+    return f"""
+WITH plan AS ({plan_sql})
+SELECT d.doc_id, d.source, d.lang
+FROM documents d
+JOIN plan p ON d.source = p.source
+WHERE CAST('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, {_HEX_DIGITS}) AS BIGINT)
+      < p.rate * {16 ** _HEX_DIGITS}
+"""
