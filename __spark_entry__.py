@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": lambda s, d: text.quality_score(_documents(s, d)),
         "lang_id": lambda s, d: text.lang_id(_documents(s, d)),
         "doc_fingerprint": lambda s, d: text.doc_fingerprint(_documents(s, d)),
+        "normalize_text": lambda s, d: text.normalize_text(_documents(s, d)),
         # --- multimodal (pandas-UDF decode plumbing, fake decode) ---
         "multimodal_features": lambda s, d: multimodal.multimodal_features(_documents(s, d)),
         # --- curation / data mixing ---
@@ -252,6 +253,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": text.quality_score_oracle(),
         "lang_id": text.lang_id_oracle(),
         "doc_fingerprint": text.doc_fingerprint_oracle(),
+        "normalize_text": text.normalize_text_oracle(),
         "multimodal_features": multimodal.multimodal_features_oracle(),
         "sample_stratified": curation.sample_stratified_oracle(),
         "cap_per_group": curation.cap_per_group_oracle(),

@@ -158,3 +158,18 @@ def test_multimodal_real_decode_is_gated(spark, docs):
     except ImportError:
         with pytest.raises(NotImplementedError):
             multimodal.extract_features(assets, decode="real")
+
+
+def test_normalize_text_collapses_cosmetic_variants(spark):
+    from tripsu_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "  HELLO\tworld.  "), (4, "different")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["norm_text"] for r in normalize_text(df).collect()}
+    assert out[1] == out[2] == out[3] == "hello world"
+    assert out[4] == "different"
+    # shuffle-free plan
+    plan = normalize_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -138,3 +138,29 @@ SELECT doc_id,
       string_split_regex(lower(text), '\\s+'))), ' ')) AS fingerprint
 FROM documents
 """
+
+
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """(doc_id, norm_text): canonical form for content hashing —
+    lowercase, punctuation stripped to spaces, whitespace collapsed,
+    trimmed. Deduplication pipelines normalize BEFORE digesting so
+    cosmetic variants (case, spacing, punctuation) collapse to one
+    cluster; compose as dedup_exact-over-normalize. Pure Catalyst
+    (two regexp_replace + lower + trim), shuffle-free."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return documents.select("doc_id", norm.alias("norm_text"))
+
+
+def normalize_text_oracle() -> str:
+    return r"""
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+       '\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
