@@ -201,8 +201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": lambda s, d: curation.sample_stratified(_documents(s, d)),
         "cap_per_group": lambda s, d: curation.cap_per_group(_documents(s, d)),
         "pack_sequences": lambda s, d: curation.pack_sequences(_documents(s, d)),
-        # strict bin packing is a sequential recurrence (applyInPandas)
-        # — not SQL-expressible, so no oracle_sql entry (rows-only check)
+        # strict bin packing runs as applyInPandas; its oracle is the
+        # recursive-CTE recurrence in curation.pack_sequences_strict_oracle
         "pack_sequences_strict": lambda s, d: curation.pack_sequences_strict(
             _documents(s, d)
         ),
@@ -258,6 +258,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": curation.sample_stratified_oracle(),
         "cap_per_group": curation.cap_per_group_oracle(),
         "pack_sequences": curation.pack_sequences_oracle(),
+        "pack_sequences_strict": curation.pack_sequences_strict_oracle(),
         "mixture_plan": curation.mixture_plan_oracle(),
         "apply_mixture": curation.apply_mixture_oracle(),
     }

@@ -153,6 +153,70 @@ def test_pack_sequences_strict_null_tokens(spark):
     assert rows[3]["pack_id"] == rows[1]["pack_id"] + 1  # capped doc opens next pack
 
 
+def test_threshold_hex_boundary_fraction():
+    """Fractions just below 1.0 whose rounded bucket count equals 16^8
+    must hit the 'g' sentinel, not the 9-char '100000000' (which sorts
+    BELOW most 8-hex prefixes and would silently drop ~94%)."""
+    from tripsu_spark.operators.curation import _threshold_hex
+
+    assert _threshold_hex(1 - 2**-34) == "g"  # rounds up to 16^8 exactly
+    assert _threshold_hex(1.0) == "g"
+    assert _threshold_hex(1 - 2**-31) == "fffffffe"  # still representable
+    assert _threshold_hex(0.0) == "00000000"
+    assert all(len(t) == 8 or t == "g" for t in
+               (_threshold_hex(f) for f in (0.1, 0.5, 0.999999999, 1.5)))
+
+
+def test_pack_sequences_null_consumes_zero_budget(spark):
+    """A NULL-n_chars doc must charge 0 tokens in the window packer —
+    the same contract as the strict sibling (F.least would otherwise
+    silently charge it a FULL budget because least() skips nulls)."""
+    df = spark.createDataFrame(
+        [(1, "s", 100), (2, "s", None), (3, "s", 100)],
+        "doc_id bigint, source string, n_chars bigint",
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(df, budget=256, n_buckets=1).collect()}
+    assert rows[2]["n_tok"] is None
+    # 25 + 0 + 25 tokens all fit the first chunk — NULL advanced nothing
+    assert rows[1]["pack_id"] == rows[2]["pack_id"] == rows[3]["pack_id"] == 0
+
+
+def test_pack_oracles_match_on_adversarial_frame(spark):
+    """Cross-engine check the sf0.01 oracle gate cannot exercise:
+    negative doc_ids (Spark pmod vs DuckDB %) and NULL n_chars, for
+    BOTH packers against their DuckDB oracles."""
+    import duckdb
+    import pandas as pd
+
+    from tripsu_spark.operators.curation import (
+        pack_sequences_oracle,
+        pack_sequences_strict,
+        pack_sequences_strict_oracle,
+    )
+
+    data = [(-7, "a", 900), (-3, "a", None), (-1, "a", 10), (2, "a", 400),
+            (5, "a", 2000), (-4, "b", 300), (0, "b", None), (9, "b", 700)]
+    df = spark.createDataFrame(data, "doc_id bigint, source string, n_chars bigint")
+    pdf = pd.DataFrame(data, columns=["doc_id", "source", "n_chars"]).astype(
+        {"n_chars": "Int64"}
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    for spark_fn, sql in (
+        (pack_sequences, pack_sequences_oracle(budget=256, n_buckets=3)),
+        (pack_sequences_strict, pack_sequences_strict_oracle(budget=256, n_buckets=3)),
+    ):
+        got = {
+            (r["doc_id"], r["source"], r["bucket"], r["n_tok"], r["pack_id"])
+            for r in spark_fn(df, budget=256, n_buckets=3).collect()
+        }
+        want = {
+            (int(d), s, int(b), None if pd.isna(t) else int(t), int(p))
+            for d, s, b, t, p in con.execute(sql).fetchall()
+        }
+        assert got == want, spark_fn.__name__
+
+
 def test_apply_mixture_realizes_plan(documents):
     from tripsu_spark.operators.curation import apply_mixture
 

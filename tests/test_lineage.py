@@ -209,3 +209,30 @@ def test_resume_refuses_storage_level_mismatch(spark, setup):
     # resuming at the committed level completes cleanly
     metrics = writer.run(spark, transcripts, rules, hasher, store_compact=2)
     assert metrics["skipped"] == [0]
+
+
+def test_resume_legacy_manifest_infers_level_from_schema(spark, setup):
+    """Manifests committed before storage_level existed lack the key;
+    resume must infer the true level from the committed bucket's
+    parquet schema, not assume 0 (which would refuse the correct
+    resume and steer toward mixed-schema corruption)."""
+    transcripts, rules, hasher, path = setup
+    writer = GraphTableWriter(path + "-legacy", n_buckets=3)
+    with pytest.raises(RuntimeError):
+        writer.run(
+            spark, transcripts, rules, hasher,
+            store_compact=2, fail_after_bucket=0,
+        )
+    # simulate a legacy manifest: drop the storage_level key
+    mpath = os.path.join(path + "-legacy", "_manifests", "bucket-0.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    del m["storage_level"]
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    # level-0 resume still refused (schema sniff says level 2) ...
+    with pytest.raises(ValueError, match="storage-level mismatch"):
+        writer.run(spark, transcripts, rules, hasher)
+    # ... and the TRUE-level resume is accepted, not refused
+    metrics = writer.run(spark, transcripts, rules, hasher, store_compact=2)
+    assert metrics["skipped"] == [0]

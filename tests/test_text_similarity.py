@@ -149,15 +149,75 @@ def test_multimodal_features_plumbing(spark, docs):
     assert 16 <= r["height"] <= 1024
 
 
-def test_multimodal_real_decode_is_gated(spark, docs):
-    assets = multimodal.assets_from_documents(docs)
-    try:
-        import PIL  # noqa: F401
+def _png_bytes(w, h):
+    import struct
+    import zlib
 
-        pytest.skip("pillow present; gate not exercised")
-    except ImportError:
-        with pytest.raises(NotImplementedError):
-            multimodal.extract_features(assets, decode="real")
+    chunk = b"IHDR" + struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk))
+    )
+
+
+def _jpeg_bytes(w, h):
+    import struct
+
+    app0 = (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
+    )
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif_bytes(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+
+
+def test_image_dims_header_parsers():
+    dims = multimodal.image_dims
+    assert dims(_png_bytes(640, 480)) == (640, 480)
+    assert dims(_jpeg_bytes(1024, 768)) == (1024, 768)
+    assert dims(_gif_bytes(320, 200)) == (320, 200)
+    # progressive JPEG uses SOF2 — still a dims-bearing frame marker
+    assert dims(_jpeg_bytes(33, 44).replace(b"\xff\xc0", b"\xff\xc2")) == (33, 44)
+    # DHT (0xC4) must NOT be mistaken for an SOF
+    assert dims(b"\xff\xd8\xff\xc4\x00\x05\x00\x00\x00\xff\xd9") == (None, None)
+    assert dims(b"not an image at all") == (None, None)
+    assert dims(_png_bytes(640, 480)[:20]) == (None, None)  # truncated
+    assert dims(None) == (None, None)
+    assert dims(b"") == (None, None)
+
+
+def test_multimodal_real_decode_parses_headers(spark):
+    """decode='real' extracts true dimensions from PNG/JPEG/GIF payloads
+    through the same mapInPandas plumbing; foreign bytes get NULL dims."""
+    rows = [
+        (1, "image", bytearray(_png_bytes(800, 600)), None),
+        (2, "image", bytearray(_jpeg_bytes(640, 360)), None),
+        (3, "image", bytearray(_gif_bytes(64, 64)), None),
+        (4, "audio", bytearray(b"RIFF....WAVE"), None),
+        (5, "image", None, None),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    feats = {
+        r["asset_id"]: r
+        for r in multimodal.extract_features(assets, decode="real").collect()
+    }
+    assert (feats[1]["width"], feats[1]["height"]) == (800, 600)
+    assert (feats[2]["width"], feats[2]["height"]) == (640, 360)
+    assert (feats[3]["width"], feats[3]["height"]) == (64, 64)
+    assert feats[4]["width"] is None and feats[4]["height"] is None
+    assert feats[5]["width"] is None and feats[5]["n_bytes"] == 0
+    # checksum/n_bytes identical to the fake path (only dims differ)
+    import hashlib
+
+    assert feats[1]["checksum"] == hashlib.md5(_png_bytes(800, 600)).hexdigest()
+    with pytest.raises(ValueError, match="decode"):
+        multimodal.extract_features(assets, decode="bogus")
 
 
 def test_normalize_text_collapses_cosmetic_variants(spark):

@@ -37,14 +37,21 @@ def _threshold_hex(fraction: float) -> str:
     P(md5_prefix < threshold) == round(fraction * 16^8) / 16^8 exactly,
     in any engine that computes md5 (the prefix is uniform).
 
-    fraction >= 1 returns "g": lexicographically above every hex
-    string, so a keep-everything stratum really keeps everything (an
-    8-hex cap would silently drop the ~1-in-2^32 docs whose prefix is
-    "ffffffff" — guaranteed losses at 10^12 docs)."""
+    A keep-everything stratum returns "g": lexicographically above
+    every hex string, so it really keeps everything (an 8-hex cap
+    would silently drop the ~1-in-2^32 docs whose prefix is
+    "ffffffff" — guaranteed losses at 10^12 docs). The guard is on
+    the ROUNDED bucket count, not the raw fraction: for fraction in
+    [1 - 2^-33, 1), round(fraction * 16^8) == 16^8 and format() would
+    emit the 9-char "100000000", which compares BELOW every prefix
+    starting "1".."f" — a silent ~94% drop at the boundary that the
+    cross-engine oracle could never catch (both engines would be
+    identically wrong)."""
     buckets = 16 ** _HEX_DIGITS
-    if fraction >= 1.0:
+    n = round(fraction * buckets)
+    if n >= buckets:
         return "g"
-    return format(round(fraction * buckets), f"0{_HEX_DIGITS}x")
+    return format(n, f"0{_HEX_DIGITS}x")
 
 
 def sample_stratified(
@@ -153,7 +160,13 @@ def pack_sequences(
     which packs docs share, it never breaks the budget invariant).
     """
     tokens = F.ceil(F.col("n_chars") / 4.0).cast("bigint")
-    capped = F.least(tokens, F.lit(budget).cast("bigint"))
+    # NULL-preserving cap: F.least (and SQL LEAST) SKIPS nulls, so a
+    # bare least(NULL, budget) would charge a NULL-n_chars doc a FULL
+    # budget; keeping the cap NULL makes the window SUM skip it — the
+    # doc consumes 0 tokens, the same contract as the strict packer.
+    capped = F.when(
+        tokens.isNull(), F.lit(None).cast("bigint")
+    ).otherwise(F.least(tokens, F.lit(budget).cast("bigint")))
     bucket = F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("bigint")
     d = documents.select(
         "doc_id",
@@ -178,6 +191,11 @@ def pack_sequences(
 
 
 def pack_sequences_oracle(budget: int = 256, n_buckets: int = 4) -> str:
+    # ((doc_id % n) + n) % n mirrors Spark's pmod (always non-negative);
+    # bare % takes the dividend's sign in DuckDB, so negative doc_ids
+    # would land in different buckets across the two engines. The CASE
+    # mirrors the NULL-preserving cap (DuckDB LEAST also skips nulls).
+    n = n_buckets
     return f"""
 SELECT doc_id, source, bucket, n_tok,
        CAST(floor(run / {budget}) AS BIGINT) AS pack_id
@@ -187,9 +205,10 @@ FROM (
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
   FROM (
     SELECT doc_id, source,
-           CAST(doc_id % {n_buckets} AS BIGINT) AS bucket,
+           CAST(((doc_id % {n}) + {n}) % {n} AS BIGINT) AS bucket,
            CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tok,
-           LEAST(CAST(ceil(n_chars / 4.0) AS BIGINT), {budget}) AS cap
+           CASE WHEN n_chars IS NULL THEN NULL
+                ELSE LEAST(CAST(ceil(n_chars / 4.0) AS BIGINT), {budget}) END AS cap
     FROM documents
   )
 )
@@ -270,9 +289,12 @@ def pack_sequences_strict(
     window partitions executor-sized bounds each pandas group, and the
     per-group state is two integers.
 
-    Not SQL-expressible without recursion -> no DuckDB oracle entry;
-    correctness is pinned by property tests (hard cap, greedy
-    minimality, determinism) in tests/test_curation.py.
+    SQL-expressible WITH recursion: the recurrence is a linear step on
+    row_number within (source, bucket) with state (pack_id, used) —
+    ``pack_sequences_strict_oracle`` below is the paired recursive-CTE
+    DuckDB oracle (same pattern as dedup_clusters_oracle). Property
+    tests (hard cap, greedy minimality, determinism) additionally pin
+    it in tests/test_curation.py.
     """
     import pandas as pd
 
@@ -299,6 +321,43 @@ def pack_sequences_strict(
         return pdf[["doc_id", "source", "bucket", "n_tok", "pack_id"]]
 
     return d.groupBy("source", "bucket").applyInPandas(pack, PACK_STRICT_SCHEMA)
+
+
+def pack_sequences_strict_oracle(budget: int = 256, n_buckets: int = 4) -> str:
+    """Recursive-CTE DuckDB oracle for the strict first-fit packer: the
+    per-(source, bucket) recurrence steps rn -> rn+1 carrying
+    (pack_id, used); a doc that would overflow closes the pack. tok is
+    the BUDGET CHARGE (0 for NULL n_chars, capped at budget) while
+    n_tok stays the raw (nullable) token count, matching the pandas
+    implementation exactly. Bucket uses the pmod-equivalent
+    ((doc_id % n) + n) % n so negative ids agree with Spark."""
+    n = n_buckets
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, source,
+         CAST(((doc_id % {n}) + {n}) % {n} AS BIGINT) AS bucket,
+         CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tok,
+         CASE WHEN n_chars IS NULL THEN 0
+              ELSE LEAST(CAST(ceil(n_chars / 4.0) AS BIGINT), {budget}) END AS tok,
+         row_number() OVER (PARTITION BY source, ((doc_id % {n}) + {n}) % {n}
+                            ORDER BY doc_id) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, source, bucket, n_tok, tok, rn,
+         CAST(0 AS BIGINT) AS pack_id, tok AS used
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.doc_id, b.source, b.bucket, b.n_tok, b.tok, b.rn,
+         CASE WHEN p.used > 0 AND p.used + b.tok > {budget}
+              THEN p.pack_id + 1 ELSE p.pack_id END AS pack_id,
+         CASE WHEN p.used > 0 AND p.used + b.tok > {budget}
+              THEN b.tok ELSE p.used + b.tok END AS used
+  FROM packed p
+  JOIN base b ON b.source = p.source AND b.bucket = p.bucket AND b.rn = p.rn + 1
+)
+SELECT doc_id, source, bucket, n_tok, pack_id FROM packed
+"""
 
 
 def apply_mixture(

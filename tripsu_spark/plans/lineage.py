@@ -234,7 +234,19 @@ class GraphTableWriter:
         # silently wrong triples (schema union, no error). Refuse.
         for b in sorted(done, key=str):
             with open(self._manifest_path(b)) as fh:
-                committed_level = json.load(fh).get("storage_level", 0)
+                committed_level = json.load(fh).get("storage_level")
+            if committed_level is None:
+                # Legacy manifest (committed before storage_level was
+                # recorded): the key's absence does NOT mean level 0 —
+                # sniff the committed bucket's physical parquet schema
+                # for the compact-storage marker columns instead of
+                # guessing (a level-1 table misread as 0 would refuse
+                # its own correct resume and steer the operator toward
+                # appending level-0 buckets into a level-1 version).
+                cols = spark.read.parquet(
+                    os.path.join(self.data_dir, f"bucket={b}")
+                ).columns
+                committed_level = 2 if "s_kc" in cols else 1 if "s_pfx" in cols else 0
             if committed_level != int(store_compact):
                 raise ValueError(
                     f"resume storage-level mismatch: bucket {b} of this table "
