@@ -207,6 +207,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _documents(s, d)
         ),
         "mixture_plan": lambda s, d: curation.mixture_plan(_documents(s, d)),
+        # water-filling variant: unfilled quota from capped sources is
+        # reallocated proportionally across the non-capped ones
+        "mixture_plan_redistributed": lambda s, d: curation.mixture_plan(
+            _documents(s, d), redistribute=True
+        ),
         "apply_mixture": lambda s, d: curation.apply_mixture(_documents(s, d)),
     }
 
@@ -260,5 +265,6 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": curation.pack_sequences_oracle(),
         "pack_sequences_strict": curation.pack_sequences_strict_oracle(),
         "mixture_plan": curation.mixture_plan_oracle(),
+        "mixture_plan_redistributed": curation.mixture_plan_redistributed_oracle(),
         "apply_mixture": curation.apply_mixture_oracle(),
     }

@@ -153,6 +153,34 @@ def test_pack_sequences_strict_null_tokens(spark):
     assert rows[3]["pack_id"] == rows[1]["pack_id"] + 1  # capped doc opens next pack
 
 
+def test_mixture_plan_redistribute_fills_target(spark):
+    """Water-filling: a source that can't fill its share caps at rate 1
+    and its residual quota flows to the others, so the EXPECTED kept
+    count sum(rate*n) realizes the target exactly when feasible."""
+    rows = [(i, f"s{i % 3}") for i in range(10)]  # s0:4, s1:3, s2:3
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+    target = {"s0": 0.6, "s1": 0.2, "s2": 0.2}
+    # target 8: s0 wants 4.8 > 4 -> capped at 4; residual 0.8 splits
+    # evenly over s1/s2 (equal shares): 2 + 2 with rate (8-4)/(3+3)*...
+    plan = {r["source"]: r for r in
+            mixture_plan(docs, target, total=8, redistribute=True).collect()}
+    assert plan["s0"]["rate"] == 1.0
+    realized = sum(r["rate"] * r["n_docs"] for r in plan.values())
+    assert abs(realized - 8) < 1e-4, realized
+    assert abs(plan["s1"]["rate"] - plan["s2"]["rate"]) < 1e-9
+    # infeasible target (> corpus): everything capped at 1
+    plan_all = mixture_plan(docs, target, total=100, redistribute=True).collect()
+    assert all(r["rate"] == 1.0 for r in plan_all)
+    # without redistribution the residual is lost (documents the gap)
+    plain = {r["source"]: r for r in mixture_plan(docs, target, total=8).collect()}
+    realized_plain = sum(r["rate"] * r["n_docs"] for r in plain.values())
+    assert realized_plain < 8 - 0.5
+    # untargeted sources stay excluded
+    plan_sub = {r["source"]: r["rate"] for r in
+                mixture_plan(docs, {"s0": 1.0}, total=2, redistribute=True).collect()}
+    assert plan_sub["s1"] == 0.0 and plan_sub["s2"] == 0.0
+
+
 def test_threshold_hex_boundary_fraction():
     """Fractions just below 1.0 whose rounded bucket count equals 16^8
     must hit the 'g' sentinel, not the 9-char '100000000' (which sorts

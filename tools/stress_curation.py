@@ -84,7 +84,26 @@ def main() -> None:
     t("pack_sequences_strict budget=2048 nb=256 (count)",
       lambda: pack_sequences_strict(docs, 2048, 256).count())
     t("mixture_plan (source rows)", lambda: mixture_plan(docs, total=1_000_000).count())
-    t("apply_mixture total=1M (count)", lambda: apply_mixture(docs, total=1_000_000).count())
+    plain = t(
+        "apply_mixture total=1M (count)",
+        lambda: apply_mixture(docs, total=1_000_000).count(),
+    )
+    # DEFAULT_TARGET names only src0..src3; src1-3 hold ~8k docs each so
+    # their 250k quotas cap at 1 and the plain plan leaves most of the
+    # target unfilled. redistribute=True water-fills the residual into
+    # src0 (2M docs) — realized count must hit the 1M target within
+    # sampling noise (the draw is a Bernoulli per doc at the planned rate).
+    redis = t(
+        "apply_mixture total=1M redistribute (count)",
+        lambda: apply_mixture(docs, total=1_000_000, redistribute=True).count(),
+    )
+    capacity = docs.filter(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+    ).count()
+    expect_redis = min(1_000_000, capacity)
+    assert plain < 0.95 * expect_redis, (plain, expect_redis)  # the residual gap
+    # water-filling realizes min(target, capacity) within sampling noise
+    assert abs(redis - expect_redis) / expect_redis < 0.01, (redis, expect_redis)
     spark.stop()
 
 

@@ -219,55 +219,139 @@ FROM (
 DEFAULT_TARGET = {"src0": 0.25, "src1": 0.25, "src2": 0.25, "src3": 0.25}
 
 
+def _share_expr(target: dict[str, float]):
+    share = F.lit(None).cast("double")
+    for src, sh in sorted(target.items()):
+        share = F.when(F.col("source") == src, F.lit(sh)).otherwise(share)
+    return F.coalesce(share, F.lit(0.0))
+
+
 def mixture_plan(
     documents: DataFrame,
     target: dict[str, float] | None = None,
     total: int = 200,
+    redistribute: bool = False,
 ) -> DataFrame:
     """Per-source sampling rates that realize a target mixture of
     ``total`` docs given the observed per-source counts:
     rate = min(1, target_share * total / count), rounded to 6 places.
 
+    ``redistribute=True``: when a source can't fill its share (rate
+    caps at 1), its unfilled quota is reallocated proportionally
+    across the non-capped sources — exact water-filling, computed in
+    CLOSED FORM rather than a driver-side fixpoint loop: sort targeted
+    sources by r = n_docs/share ascending; a source is capped iff
+    r <= lam, where lam at each position uses the unconditional prefix
+    sums (valid because lam only RISES while rows are capped and only
+    FALLS once one isn't, while r keeps rising — so the capped set is
+    exactly the prefix where r <= lam, no iteration needed). The final
+    multiplier is lam at the first non-capped row; realized total =
+    sum(min(n, lam_final*share)) = ``total`` whenever feasible.
+
     100 TB: one map-side-combined count aggregate over a single narrow
-    column; the resulting (source, rate) table is broadcast back into
-    ``sample_stratified``-style filters. Sources absent from the
+    column; the redistribution windows run on the POST-AGGREGATION
+    frame (one row per source — bytes, not TB), so the global window
+    is harmless; the resulting (source, rate) table is broadcast back
+    into ``sample_stratified``-style filters. Sources absent from the
     target get rate 0 (excluded from the mix).
     """
     target = DEFAULT_TARGET if target is None else target
-    share = F.lit(None).cast("double")
-    for src, sh in sorted(target.items()):
-        share = F.when(F.col("source") == src, F.lit(sh)).otherwise(share)
-    return (
-        documents.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .select(
+    counts = documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    if not redistribute:
+        return counts.select(
             "source",
             "n_docs",
             F.round(
-                F.least(F.lit(1.0), F.coalesce(share, F.lit(0.0)) * total / F.col("n_docs")),
+                F.least(F.lit(1.0), _share_expr(target) * total / F.col("n_docs")),
                 6,
             ).alias("rate"),
+        )
+    d = counts.select("source", "n_docs", _share_expr(target).alias("_s"))
+    t = d.filter(F.col("_s") > 0).withColumn("_r", F.col("n_docs") / F.col("_s"))
+    w_prev = Window.orderBy("_r", "source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_n = F.coalesce(F.sum("n_docs").over(w_prev), F.lit(0).cast("bigint"))
+    cum_s = F.coalesce(F.sum("_s").over(w_prev), F.lit(0.0))
+    lam = (F.lit(float(total)) - cum_n) / (F.sum("_s").over(w_full) - cum_s)
+    t = t.withColumn("_lam", lam).withColumn("_capped", F.col("_r") <= F.col("_lam"))
+    lam_final = F.max(F.when(~F.col("_capped"), F.col("_lam"))).over(w_full)
+    rate = F.when(F.col("_capped"), F.lit(1.0)).otherwise(
+        F.greatest(F.lit(0.0), lam_final * F.col("_s") / F.col("n_docs"))
+    )
+    return t.select(
+        "source", "n_docs", F.round(rate, 6).alias("rate")
+    ).unionByName(
+        d.filter(~(F.col("_s") > 0)).select(
+            "source", "n_docs", F.lit(0.0).alias("rate")
         )
     )
 
 
-def mixture_plan_oracle(target: dict[str, float] | None = None, total: int = 200) -> str:
-    target = DEFAULT_TARGET if target is None else target
+def _share_sql(target: dict[str, float]) -> str:
     # CAST the share literals: bare 0.25 is DECIMAL in DuckDB, and
     # decimal intermediate rounding diverges from Spark's doubles.
     cases = " ".join(
         f"WHEN '{src}' THEN CAST({sh} AS DOUBLE)" for src, sh in sorted(target.items())
     )
+    return f"COALESCE(CASE source {cases} END, CAST(0.0 AS DOUBLE))"
+
+
+def mixture_plan_oracle(target: dict[str, float] | None = None, total: int = 200) -> str:
+    target = DEFAULT_TARGET if target is None else target
     return f"""
 SELECT source, n_docs,
        round(LEAST(CAST(1.0 AS DOUBLE),
-                   COALESCE(CASE source {cases} END, CAST(0.0 AS DOUBLE))
+                   {_share_sql(target)}
                    * {total} / n_docs), 6) AS rate
 FROM (
   SELECT source, count(*) AS n_docs
   FROM documents
   GROUP BY source
 )
+"""
+
+
+def mixture_plan_redistributed_oracle(
+    target: dict[str, float] | None = None, total: int = 200
+) -> str:
+    """DuckDB mirror of the closed-form water-filling: identical sort
+    key (r, source), identical unconditional prefix sums, identical
+    double arithmetic order, so the 6-place rounded rates hash-match."""
+    target = DEFAULT_TARGET if target is None else target
+    return f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+shared AS (
+  SELECT source, n_docs, {_share_sql(target)} AS s FROM counts
+),
+t AS (
+  SELECT source, n_docs, s, n_docs / s AS r FROM shared WHERE s > 0
+),
+w AS (
+  SELECT source, n_docs, s, r,
+         (CAST({total} AS DOUBLE) - COALESCE(SUM(n_docs) OVER prev, 0))
+         / (SUM(s) OVER () - COALESCE(SUM(s) OVER prev, CAST(0.0 AS DOUBLE))) AS lam
+  FROM t
+  WINDOW prev AS (ORDER BY r, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+f AS (
+  SELECT *, r <= lam AS capped,
+         MAX(CASE WHEN r > lam THEN lam END) OVER () AS lam_final
+  FROM w
+)
+SELECT source, n_docs,
+       round(CASE WHEN capped THEN CAST(1.0 AS DOUBLE)
+                  ELSE GREATEST(CAST(0.0 AS DOUBLE), lam_final * s / n_docs) END,
+             6) AS rate
+FROM f
+UNION ALL
+SELECT source, n_docs, CAST(0.0 AS DOUBLE) AS rate
+FROM shared WHERE NOT (s > 0)
 """
 
 
@@ -364,6 +448,7 @@ def apply_mixture(
     documents: DataFrame,
     target: dict[str, float] | None = None,
     total: int = 200,
+    redistribute: bool = False,
 ) -> DataFrame:
     """Apply a ``mixture_plan``: broadcast the tiny (source, rate)
     table back onto the corpus and keep each doc with its source's
@@ -377,7 +462,7 @@ def apply_mixture(
     else. The 'mix:' salt keeps this draw independent of
     ``sample_stratified``'s (composing the two does not correlate).
     """
-    plan = mixture_plan(documents, target, total)
+    plan = mixture_plan(documents, target, total, redistribute=redistribute)
     prefix = F.substring(
         F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, _HEX_DIGITS
     )
