@@ -197,3 +197,27 @@ def test_connected_components_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, chain, max_iters=2)
+
+
+def test_dedup_job_cli_smoke(spark, tmp_path):
+    """Batch surface (jobs/dedup_job.py): reuse_sigs defaults ON and the
+    written clusters match the in-process pure-Catalyst operator."""
+    import json
+    import subprocess
+    import sys
+
+    out_dir = str(tmp_path / "dedup_out")
+    proc = subprocess.run(
+        [sys.executable, "jobs/dedup_job.py",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out_dir, "--mode", "clusters",
+         "--num-hashes", "12", "--band-size", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    metrics = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert metrics["reuse_sigs"] is True and metrics["mode"] == "clusters"
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = {tuple(r) for r in dedup.dedup_clusters(docs, 12, 4).collect()}
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert got == want and metrics["rows"] == len(want)
