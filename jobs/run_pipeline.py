@@ -44,6 +44,12 @@ def main() -> int:
     ap.add_argument("--buckets", type=int, default=16, help="resume/commit granularity")
     ap.add_argument("--snapshot-id", default=None)
     ap.add_argument(
+        "--table-format", default="parquet", choices=["parquet", "iceberg"],
+        help="physical table format (plans/table_format.py); iceberg "
+             "needs the runtime jar + catalog conf on the cluster "
+             "(fail-fast with the exact spark-submit recipe otherwise)",
+    )
+    ap.add_argument(
         "--store-compact", type=int, default=0, choices=[0, 1, 2],
         help="graph storage level: 0 standard, 1 prefix-compacted, "
              "2 + dictionary-coded tinyints (3x less decoded scan "
@@ -62,7 +68,10 @@ def main() -> int:
     hasher = Pseudonymizer.create(args.algorithm, secret)
 
     transcripts = spark.read.parquet(args.input)
-    writer = GraphTableWriter(args.output, n_buckets=args.buckets)
+    from tripsu_spark.plans.table_format import IcebergFormat, ParquetFormat
+
+    fmt = IcebergFormat() if args.table_format == "iceberg" else ParquetFormat()
+    writer = GraphTableWriter(args.output, n_buckets=args.buckets, table_format=fmt)
     metrics = writer.run(
         spark, transcripts, rules, hasher,
         snapshot_id=args.snapshot_id, store_compact=args.store_compact,

@@ -2,9 +2,10 @@
 (north_rule: "resumable from checkpoint with per-partition lineage +
 metrics"; graft-specific operators table, SURVEY.md §2).
 
-Iceberg semantics without the Iceberg jar (absent in this sandbox —
-the layout keeps the same shape so swapping the writer for
-``df.writeTo(...).partitionedBy(...)`` is mechanical):
+Iceberg semantics without the Iceberg jar (absent in this sandbox):
+all physical table IO goes through the ``TableFormat`` seam
+(plans/table_format.py) — parquet by default; the Iceberg adapter with
+the exact spark-submit swap recipe is ``IcebergFormat``. Layout:
 
 - the transcript keyspace is split into ``n_buckets`` deterministic
   conv_id buckets (xxhash64; bucket == Spark shuffle hash semantics is
@@ -37,6 +38,7 @@ from ..operators.extract import derived_triples, extract_triples, per_turn_tripl
 from ..operators.index import build_type_index
 from ..rules import Rules
 from .pipeline import pseudonymize
+from .table_format import ParquetFormat, TableFormat
 
 
 def predicate_partition_col():
@@ -105,9 +107,20 @@ class GraphTableWriter:
     tables/readers are unaffected.
     """
 
-    def __init__(self, base_path: str, n_buckets: int = 8):
+    def __init__(
+        self,
+        base_path: str,
+        n_buckets: int = 8,
+        table_format: TableFormat | None = None,
+    ):
         self.base_path = base_path
         self.n_buckets = n_buckets
+        # Physical-format seam (plans/table_format.py): every table
+        # read/write below goes through this adapter; swapping parquet
+        # for Iceberg is a constructor argument, not a rewrite. JSON
+        # manifests/snapshots/quarantine are writer-side control data,
+        # not table data, and stay on the filesystem in either format.
+        self.fmt = table_format if table_format is not None else ParquetFormat()
         self.snapshot_dir = os.path.join(base_path, "_snapshots")
         os.makedirs(self.snapshot_dir, exist_ok=True)
         self._set_version(self._latest_version())
@@ -220,12 +233,12 @@ class GraphTableWriter:
         index_manifest = os.path.join(self.manifest_dir, "type_index.json")
         if not os.path.exists(index_manifest):
             index_df = build_type_index(extract_triples(valid))
-            index_df.write.mode("overwrite").parquet(index_path)
-            n = spark.read.parquet(index_path).count()
+            self.fmt.write(index_df, index_path)
+            n = self.fmt.read(spark, index_path).count()
             _atomic_write_json(index_manifest, {
                 "snapshot_id": snapshot_id, "rows": n, "stage": "pass1"
             })
-        index_df = spark.read.parquet(index_path)
+        index_df = self.fmt.read(spark, index_path)
 
         done = self.committed_buckets()
         # A table version must be one physical layout: resuming with a
@@ -243,8 +256,8 @@ class GraphTableWriter:
                 # guessing (a level-1 table misread as 0 would refuse
                 # its own correct resume and steer the operator toward
                 # appending level-0 buckets into a level-1 version).
-                cols = spark.read.parquet(
-                    os.path.join(self.data_dir, f"bucket={b}")
+                cols = self.fmt.read(
+                    spark, os.path.join(self.data_dir, f"bucket={b}")
                 ).columns
                 committed_level = 2 if "s_kc" in cols else 1 if "s_pfx" in cols else 0
             if committed_level != int(store_compact):
@@ -298,12 +311,7 @@ class GraphTableWriter:
                 # through compact_triples untouched.
                 out = compact_triples(out, level=int(store_compact))
             data_path = os.path.join(self.data_dir, f"bucket={bucket}")
-            (
-                out
-                .write.mode("overwrite")
-                .partitionBy("pred_part")
-                .parquet(data_path)
-            )
+            self.fmt.write(out, data_path, partition_by=["pred_part"])
             n_bad = 0
             if quarantine is not None:
                 q_path = os.path.join(self.quarantine_dir, f"bucket={bucket}")
@@ -312,7 +320,7 @@ class GraphTableWriter:
             from .compact import maybe_expand
 
             n, checksum = triples_checksum(
-                maybe_expand(spark.read.parquet(data_path).drop("pred_part"))
+                maybe_expand(self.fmt.read(spark, data_path).drop("pred_part"))
             )
             _atomic_write_json(self._manifest_path(bucket), {
                 "snapshot_id": snapshot_id,
@@ -346,8 +354,9 @@ class GraphTableWriter:
         # an idempotent re-run doesn't duplicate the log)
         snaps = self.snapshots()
         if metrics["buckets"] or not any(s["version"] == self.version for s in snaps):
-            sample = spark.read.parquet(
-                os.path.join(self.data_dir, f"bucket={self.n_buckets - 1 if self.n_buckets else 0}")
+            sample = self.fmt.read(
+                spark,
+                os.path.join(self.data_dir, f"bucket={self.n_buckets - 1 if self.n_buckets else 0}"),
             )
             self._commit_snapshot(snapshot_id, sample.drop("pred_part").schema.json())
         return metrics
@@ -363,7 +372,7 @@ class GraphTableWriter:
         if not snaps:
             # no committed snapshot yet (mid-run/legacy): direct read
             return maybe_expand(
-                spark.read.parquet(os.path.join(self.base_path, "data"))
+                self.fmt.read(spark, os.path.join(self.base_path, "data"))
                 .drop("pred_part", "bucket")
             )
         if as_of is None:
@@ -375,11 +384,9 @@ class GraphTableWriter:
                 raise ValueError(f"unknown snapshot {as_of!r}; committed: {known}")
             snap = matching[-1]
         paths = [os.path.join(self.base_path, b["path"]) for b in snap["buckets"].values()]
-        # all buckets of one snapshot share a version data dir; basePath
-        # makes Spark treat the bucket=<k> roots as partition dirs
+        # all buckets of one snapshot share a version data dir
         return maybe_expand(
-            spark.read.option("basePath", os.path.dirname(paths[0]))
-            .parquet(*paths)
+            self.fmt.read_union(spark, paths, os.path.dirname(paths[0]))
             .drop("pred_part", "bucket")
         )
 
