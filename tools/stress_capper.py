@@ -1,21 +1,33 @@
-"""Quota-capper skew stress: the regime where the salted two-phase
-shape PAYS (BENCH.md row; guidance threshold in curation.py docstring).
+"""Quota-capper skew stress — measures WHEN the salted two-phase shape
+pays (BENCH.md row; guidance in cap_per_group's docstring).
 
-stress_curation.py showed salt=64 COSTS an extra pass at 10M docs /
-1000 sources (largest group 2M rows — still one comfortable task).
-This tool synthesizes the opposite regime: ONE source holding the
-whole corpus (default 50M rows), so the direct window funnels every
-row through a single task's external sort while the other cores idle,
-and memory pressure is real (run with a small heap to model executor
-task memory). The salted phase-1 spreads the same sort over
-``--salt`` tasks; phase 2 sorts only salt*n survivors.
+Finding first (this tool is the evidence): on Spark >= 3.5 the
+``InferWindowGroupLimit`` rule plants a PARTIAL WindowGroupLimit
+before the exchange for rank-filter windows (rk <= n, n below
+``spark.sql.optimizer.windowGroupLimitThreshold``, default 1000), so
+every map task locally keeps only its top-n per group and the skewed
+group's single reducer receives at most map_tasks * n rows — the
+optimizer already performs the equivalent of manual salting, for any
+skew. The manual salt is therefore only the right tool on engines
+WITHOUT that rule (Spark < 3.5), or for caps above the threshold.
+
+This tool demonstrates both regimes on one input — a single dominant
+source holding ~99% of the corpus, built from a DATA-DEPENDENT
+expression (a constant-literal source would be constant-folded into a
+partitionless window and rewritten to TakeOrderedAndProject, which
+measures nothing):
+
+  1. rule ON  (modern engine): direct vs salted — direct should win
+     or tie; the salt just adds a pass.
+  2. rule OFF (windowGroupLimitThreshold=-1, modeling Spark < 3.5):
+     direct funnels the dominant group through ONE task's external
+     sort; salted spreads it over --salt tasks.
 
   python tools/stress_capper.py [--rows 50000000] [--salt 256]
-      [--cores 8] [--heap 4g] [--also-small]
+      [--cores 8] [--heap 4g]
 
-Prints one JSON line: wall seconds for direct vs salted at the big
-single-group input, and (with --also-small) the 10M/1000-source
-control where salting loses — the two ends of the threshold.
+Prints one JSON line with the four wall times + speedups; asserts all
+four variants return identical results.
 """
 
 from __future__ import annotations
@@ -28,23 +40,19 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+_RULE_THR = "spark.sql.optimizer.windowGroupLimitThreshold"
 
-def one_group_docs(spark, n_rows: int):
+
+def skewed_docs(spark, n_rows: int):
     from pyspark.sql import functions as F
 
+    # ~99% of rows in one dominant source, 1% spread over 1000 tail
+    # sources; source derives from doc_id so nothing constant-folds.
     return spark.range(n_rows).select(
         F.col("id").alias("doc_id"),
-        F.lit("the_one_source").alias("source"),
-        (F.pmod(F.hash("id"), F.lit(4000)) + 100).alias("n_chars"),
-    )
-
-
-def many_group_docs(spark, n_rows: int, n_sources: int = 1000):
-    from pyspark.sql import functions as F
-
-    return spark.range(n_rows).select(
-        F.col("id").alias("doc_id"),
-        F.concat(F.lit("src"), F.pmod(F.col("id"), F.lit(n_sources))).alias("source"),
+        F.when(F.pmod(F.col("id"), F.lit(100)) < 99, F.lit("the_big_one"))
+        .otherwise(F.concat(F.lit("tail"), F.pmod(F.col("id"), F.lit(1000))))
+        .alias("source"),
         (F.pmod(F.hash("id"), F.lit(4000)) + 100).alias("n_chars"),
     )
 
@@ -57,8 +65,6 @@ def main() -> None:
     ap.add_argument("--heap", default="4g",
                     help="driver heap — small on purpose, models one executor")
     ap.add_argument("--n", type=int, default=100, help="cap per group")
-    ap.add_argument("--also-small", action="store_true",
-                    help="also run the 10M/1000-source control where salting loses")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -77,30 +83,35 @@ def main() -> None:
         "rows": args.rows, "salt": args.salt, "cores": args.cores,
         "heap": args.heap, "n": args.n,
     }
+    docs = skewed_docs(spark, args.rows)
 
     def timed(label, df):
         t0 = time.monotonic()
-        # checksum forces full evaluation of every output row
         row = df.agg(
-            F.count("*").alias("c"), F.sum("doc_id").alias("s")
+            F.count("*").alias("c"),
+            F.bit_xor(F.xxhash64("doc_id", "source")).alias("s"),
         ).collect()[0]
         out[label + "_sec"] = round(time.monotonic() - t0, 2)
         return int(row["c"]), int(row["s"] or 0)
 
-    big = one_group_docs(spark, args.rows)
-    direct = timed("one_group_direct", cap_per_group(big, n=args.n))
-    salted = timed("one_group_salted", cap_per_group(big, n=args.n, salt=args.salt))
-    assert direct == salted, (direct, salted)
-    out["one_group_kept"] = direct[0]
-    out["speedup_salted"] = round(
-        out["one_group_direct_sec"] / out["one_group_salted_sec"], 2
+    default_thr = spark.conf.get(_RULE_THR)
+    results = {}
+    for rule_on in (True, False):
+        spark.conf.set(_RULE_THR, default_thr if rule_on else "-1")
+        tag = "ruleon" if rule_on else "ruleoff"
+        results[tag, "direct"] = timed(f"{tag}_direct", cap_per_group(docs, n=args.n))
+        results[tag, "salted"] = timed(
+            f"{tag}_salted", cap_per_group(docs, n=args.n, salt=args.salt)
+        )
+    spark.conf.set(_RULE_THR, default_thr)
+    assert len(set(results.values())) == 1, results  # all four identical
+    out["kept_rows"] = results["ruleon", "direct"][0]
+    out["ruleon_salted_speedup"] = round(
+        out["ruleon_direct_sec"] / out["ruleon_salted_sec"], 2
     )
-
-    if args.also_small:
-        small = many_group_docs(spark, 10_000_000)
-        d = timed("many_groups_direct", cap_per_group(small, n=args.n))
-        s = timed("many_groups_salted", cap_per_group(small, n=args.n, salt=64))
-        assert d == s
+    out["ruleoff_salted_speedup"] = round(
+        out["ruleoff_direct_sec"] / out["ruleoff_salted_sec"], 2
+    )
     print(json.dumps(out))
     spark.stop()
 

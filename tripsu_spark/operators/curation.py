@@ -98,15 +98,28 @@ def cap_per_group(documents: DataFrame, n: int = 5, salt: int | None = None) -> 
     """Quota capping: keep at most ``n`` docs per source, preferring
     longer docs (n_chars DESC), doc_id as the deterministic tiebreak.
 
-    100 TB: one shuffle on the group key. A heavily skewed group (one
-    domain = half the corpus) bottlenecks the single window task — pass
-    ``salt=S`` for the two-phase shape: phase 1 ranks within
-    (source, pmod(doc_id, S)) so the skewed group spreads over S tasks
-    and each salted slice keeps its own top ``n``; phase 2 ranks the
-    <= S*n survivors per group exactly. The result is IDENTICAL to the
-    direct window for every input (the global top-n is contained in
-    the union of salted top-n's), so both shapes share one oracle —
-    tests/test_curation.py pins salted == unsalted.
+    100 TB: one shuffle on the group key. Skew guidance, MEASURED
+    (tools/stress_capper.py, 50M rows with 99% in one source, 8 cores
+    / 4g heap): on Spark >= 3.5 the ``InferWindowGroupLimit`` rule
+    plants a Partial WindowGroupLimit before the exchange whenever the
+    plan is window + ``rank <= n`` with n below
+    ``spark.sql.optimizer.windowGroupLimitThreshold`` (default 1000),
+    so every map task locally keeps only its top-n per group and the
+    skewed group's reducer receives at most map_tasks*n rows — the
+    optimizer already does the equivalent of salting, and the direct
+    window is skew-safe (measured: direct 14.8s vs salted 11.8s, a
+    noise-band tie). Pass ``salt=S`` only where that rule doesn't
+    fire: engines without it (Spark < 3.5) or caps above the
+    threshold — there the direct shape funnels the dominant group
+    through ONE task's external sort (measured collapse: 110.9s
+    direct vs 31.3s salted with the rule disabled, 3.5x). The salted
+    two-phase: phase 1 ranks within (source, pmod(doc_id, S)) so the
+    skewed group spreads over S tasks and each salted slice keeps its
+    own top ``n``; phase 2 ranks the <= S*n survivors per group
+    exactly. The result is IDENTICAL to the direct window for every
+    input (the global top-n is contained in the union of salted
+    top-n's), so both shapes share one oracle — tests/test_curation.py
+    pins salted == unsalted.
     """
     order = [F.col("n_chars").desc(), F.col("doc_id")]
     if salt is not None:
