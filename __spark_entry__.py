@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lambda s, d: text.lang_id(_documents(s, d)),
         "doc_fingerprint": lambda s, d: text.doc_fingerprint(_documents(s, d)),
         "normalize_text": lambda s, d: text.normalize_text(_documents(s, d)),
+        "scrub_pii": lambda s, d: text.scrub_pii(_documents(s, d)),
+        "repetition_metrics": lambda s, d: text.repetition_metrics(_documents(s, d)),
         # --- multimodal (pandas-UDF decode plumbing, fake decode) ---
         "multimodal_features": lambda s, d: multimodal.multimodal_features(_documents(s, d)),
         # --- curation / data mixing ---
@@ -259,6 +261,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text.lang_id_oracle(),
         "doc_fingerprint": text.doc_fingerprint_oracle(),
         "normalize_text": text.normalize_text_oracle(),
+        "scrub_pii": text.scrub_pii_oracle(),
+        "repetition_metrics": text.repetition_metrics_oracle(),
         "multimodal_features": multimodal.multimodal_features_oracle(),
         "sample_stratified": curation.sample_stratified_oracle(),
         "cap_per_group": curation.cap_per_group_oracle(),

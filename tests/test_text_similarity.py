@@ -233,3 +233,63 @@ def test_normalize_text_collapses_cosmetic_variants(spark):
     # shuffle-free plan
     plan = normalize_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_scrub_pii_adversarial_cross_engine(spark):
+    """PII patterns must fire and agree across engines on text that
+    actually contains PII (the sf0.01 corpus has none, so its oracle
+    row alone would pass vacuously)."""
+    import duckdb
+    import pandas as pd
+
+    data = [
+        (1, "contact alice.smith+spam@ex-ample.co.uk or bob@x.io today"),
+        (2, "server at 192.168.001.5 port 8080, call +1 (415) 555-0133"),
+        (3, "no pii here, just 42 and v1.2.3 and a@b (not an email)"),
+        (4, "mixed: eve@corp.com from 10.0.0.1 dialed 020-7946-0958"),
+    ]
+    df = spark.createDataFrame(data, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in text.scrub_pii(df).collect()}
+    assert got[1]["n_email"] == 2 and "<EMAIL>" in got[1]["scrubbed"]
+    assert "alice" not in got[1]["scrubbed"] and "bob@" not in got[1]["scrubbed"]
+    assert got[2]["n_ipv4"] == 1 and got[2]["n_phone"] >= 1
+    assert "<IP>" in got[2]["scrubbed"] and "<PHONE>" in got[2]["scrubbed"]
+    assert got[3]["n_email"] == 0 and got[3]["n_ipv4"] == 0
+    assert got[4]["n_email"] == 1 and got[4]["n_ipv4"] == 1 and got[4]["n_phone"] == 1
+    # cross-engine on the SAME adversarial frame
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(data, columns=["doc_id", "text"]))
+    want = {
+        int(r[0]): tuple(r)
+        for r in con.execute(text.scrub_pii_oracle()).fetchall()
+    }
+    for did, row in got.items():
+        assert want[did] == (
+            row["doc_id"], row["scrubbed"], row["n_email"],
+            row["n_ipv4"], row["n_phone"],
+        ), did
+
+
+def test_repetition_metrics_flags_boilerplate(spark):
+    import duckdb
+    import pandas as pd
+
+    data = [
+        (1, "buy now buy now buy now buy now"),
+        (2, "a perfectly ordinary sentence with distinct words"),
+        (3, "word"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(data, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in text.repetition_metrics(df).collect()}
+    assert got[1]["dup_bigram_frac"] > 0.5 and got[1]["top_token_frac"] == 0.5
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[3]["dup_bigram_frac"] == 0.0  # single token: no bigrams
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(data, columns=["doc_id", "text"]))
+    want = {int(r[0]): (r[1], r[2]) for r in
+            con.execute(text.repetition_metrics_oracle()).fetchall()}
+    for did, row in got.items():
+        w = want[did]
+        assert abs(w[0] - row["dup_bigram_frac"]) < 1e-9, did
+        assert abs(w[1] - row["top_token_frac"]) < 1e-9, did

@@ -164,3 +164,107 @@ SELECT doc_id,
        '\s+', ' ', 'g')) AS norm_text
 FROM documents
 """
+
+
+# PII patterns, deliberately restricted to syntax both Java regex
+# (Spark) and RE2 (DuckDB) interpret identically: character classes,
+# bounded repetition, \b — no lookaround, no backreferences. Applied
+# in THIS order (emails before phones so the phone pattern can't eat
+# an address's digits; IPs before phones for the same reason).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\s.-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(documents: DataFrame) -> DataFrame:
+    """(doc_id, scrubbed, n_email, n_ipv4, n_phone): redact emails,
+    IPv4 addresses and phone-shaped digit runs with typed placeholders.
+    Each category is counted on the text AFTER the earlier categories
+    were already replaced, so counts equal what that category actually
+    redacted (an IP is not double-counted as a phone; the placeholders
+    contain no digits, so they can never re-match).
+
+    The natural companion to the pseudonymization core: rules.yaml
+    governs structured IRIs/literals, this governs free text before it
+    enters a training mix. Pure Catalyst (sequential regexp_replace +
+    regexp_extract_all), shuffle-free, single narrow scan — the same
+    cost shape as normalize_text at any corpus size.
+    """
+    scrubbed = F.col("text")
+    cols = []
+    for name, pat, repl in PII_PATTERNS:
+        cols.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return documents.select("doc_id", scrubbed.alias("scrubbed"), *cols)
+
+
+def scrub_pii_oracle() -> str:
+    scrub = "text"
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({scrub}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"SELECT doc_id, {scrub} AS scrubbed, {', '.join(counts)} FROM documents"
+
+
+def repetition_metrics(documents: DataFrame) -> DataFrame:
+    """(doc_id, dup_bigram_frac, top_token_frac): Gopher-style
+    repetition quality signals — the fraction of word bigrams that are
+    duplicates (1 - distinct/total) and the share of the single most
+    frequent token. High values flag boilerplate/spam for filtering.
+
+    Pure Catalyst via higher-order array functions; the top-token count
+    is the O(distinct x n) transform/filter form, which both engines
+    evaluate identically — fine because it is per-document work over
+    short token arrays, embarrassingly parallel, no shuffle.
+    """
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    dup_frac = F.when(n < 2, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)) / (n - 1).cast("double")
+    )
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda t: t == d)),
+        )
+    )
+    top_frac = F.when(n < 1, F.lit(0.0)).otherwise(top_cnt / n.cast("double"))
+    return documents.select(
+        "doc_id",
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+        F.round(top_frac, 6).alias("top_token_frac"),
+    )
+
+
+def repetition_metrics_oracle() -> str:
+    toks = r"string_split_regex(lower(text), '\s+')"
+    bigrams = (
+        f"list_transform(range(1, len({toks})), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1])"
+    )
+    top_cnt = (
+        f"list_max(list_transform(list_distinct({toks}), "
+        f"d -> len(list_filter({toks}, t -> t = d))))"
+    )
+    return f"""
+SELECT doc_id,
+  ROUND(CASE WHEN len({toks}) < 2 THEN 0.0
+        ELSE 1.0 - len(list_distinct({bigrams}))
+                   / CAST(len({toks}) - 1 AS DOUBLE) END, 6) AS dup_bigram_frac,
+  ROUND(CASE WHEN len({toks}) < 1 THEN 0.0
+        ELSE {top_cnt} / CAST(len({toks}) AS DOUBLE) END, 6) AS top_token_frac
+FROM documents
+"""
