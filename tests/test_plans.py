@@ -123,3 +123,37 @@ def test_minhash_signature_stage_is_shuffle_free(spark):
     )
     plan = plan_of(sigs)
     assert "Exchange" not in plan
+
+
+def test_new_text_ops_are_shuffle_free_codegen(spark):
+    """scrub_pii and repetition_metrics must stay a single narrow scan:
+    no Exchange, no Python eval (pure Catalyst expressions)."""
+    from tripsu_spark.operators.text import repetition_metrics, scrub_pii
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c", "en", "s", 9)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    for op in (scrub_pii, repetition_metrics):
+        plan = plan_of(op(docs))
+        assert "Exchange" not in plan, op.__name__
+        assert "EvalPython" not in plan, op.__name__
+
+
+def test_mixture_redistribute_windows_only_after_aggregate(spark):
+    """Water-filling windows must sit ABOVE the per-source aggregate
+    (one row per source), never over the raw corpus: exactly one
+    pre-aggregation Exchange fed by the scan, and the single-partition
+    window exchange only downstream of the aggregate."""
+    from tripsu_spark.operators.curation import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], ["doc_id", "source"]
+    )
+    plan = plan_of(mixture_plan(docs, {"s0": 0.5, "s1": 0.5}, total=10,
+                                redistribute=True))
+    # the Window operates on the aggregated frame
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    assert win_pos < agg_pos  # executed-plan string prints top-down
