@@ -36,10 +36,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from pyspark.sql import SparkSession
-
 from tripsu_spark.operators import dedup
-from tripsu_spark.session import DEFAULTS
+from tripsu_spark.session import get_submit_spark
 
 
 def main() -> int:
@@ -61,11 +59,7 @@ def main() -> int:
     )
     args = ap.parse_args()
 
-    builder = SparkSession.builder.appName("tripsu-spark-dedup")
-    for k, v in DEFAULTS.items():
-        if k not in ("spark.driver.memory", "spark.ui.enabled"):
-            builder = builder.config(k, v)
-    spark = builder.getOrCreate()
+    spark = get_submit_spark("tripsu-spark-dedup")
 
     docs = spark.read.parquet(args.input)
     t0 = time.monotonic()

@@ -25,13 +25,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from pyspark.sql import SparkSession
-
 from tripsu_spark.crypto import Pseudonymizer
 from tripsu_spark.plans.lineage import GraphTableWriter
 from tripsu_spark.plans.pipeline import default_rules
 from tripsu_spark.rules import Rules
-from tripsu_spark.session import DEFAULTS
+from tripsu_spark.session import get_submit_spark
 
 
 def main() -> int:
@@ -57,11 +55,7 @@ def main() -> int:
     )
     args = ap.parse_args()
 
-    builder = SparkSession.builder.appName("tripsu-spark-pipeline")
-    for k, v in DEFAULTS.items():
-        if k not in ("spark.driver.memory", "spark.ui.enabled"):
-            builder = builder.config(k, v)
-    spark = builder.getOrCreate()
+    spark = get_submit_spark("tripsu-spark-pipeline")
 
     rules = Rules.load(args.rules) if args.rules else default_rules()
     secret = Path(args.secret_file).read_bytes() if args.secret_file else None

@@ -273,7 +273,20 @@ def test_table_format_seam(spark, setup):
     # fail-fast with the documented recipe when no catalog is configured
     ice = IcebergFormat(catalog="kg")
     assert isinstance(ice, TableFormat)
-    assert ice.table_identifier("/data/graph/data/bucket=3") == "kg.graph.bucket_3"
+    ids = {
+        ice.table_identifier(p)
+        for p in (
+            "/data/graph/data/bucket=3",     # version 1
+            "/data/graph/data/v2/bucket=3",  # version 2: same leaf!
+            "/other/graph/data/bucket=3",    # different pipeline output
+        )
+    }
+    # distinct paths -> distinct tables (leaf-only mapping would
+    # createOrReplace one table from all three, destroying versions)
+    assert len(ids) == 3
+    assert all(i.startswith("kg.graph.bucket_3_") for i in ids)
+    # stable across calls
+    assert ice.table_identifier("/data/graph/data/bucket=3") in ids
     import pytest as _pytest
 
     df = spark.range(1)
@@ -281,3 +294,21 @@ def test_table_format_seam(spark, setup):
         ice.write(df, "/tmp/x")
     with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         ice.read(spark, "/tmp/x")
+
+
+def test_midrun_read_returns_committed_buckets_only(spark, setup):
+    """With no snapshot yet (mid-run after a crash), read() must return
+    exactly the manifest-vouched buckets via the format seam — not
+    whatever partial files are on disk, and not raise for formats that
+    have no '<base>/data' umbrella table."""
+    transcripts, rules, hasher, path = setup
+    writer = GraphTableWriter(path + "-midrun", n_buckets=3)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        writer.run(spark, transcripts, rules, hasher, fail_after_bucket=1)
+    assert writer.snapshots() == []
+    got = writer.read(spark).count()
+    with open(os.path.join(path + "-midrun", "_manifests", "bucket-0.json")) as fh:
+        n0 = json.load(fh)["row_count"]
+    with open(os.path.join(path + "-midrun", "_manifests", "bucket-1.json")) as fh:
+        n1 = json.load(fh)["row_count"]
+    assert got == n0 + n1

@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--out", default=None, help="also write JSON here")
     args = ap.parse_args()
+    if args.reps < 1:
+        raise SystemExit("--reps must be >= 1")
 
     import __spark_entry__ as entry
     from tripsu_spark.session import get_spark
@@ -54,9 +56,17 @@ def main() -> None:
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
         if err is None and rows is None:
-            rows = fn(spark, args.sf_dir).count()
+            # rows come from a separate (untimed) count so the timed
+            # reps stay pure noop-sink materializations; guarded so a
+            # count-shaped plan failure degrades to an err row instead
+            # of aborting the whole artifact.
+            try:
+                rows = fn(spark, args.sf_dir).count()
+            except Exception as exc:
+                err = f"count: {type(exc).__name__}: {exc}"[:200]
         results[name] = (
-            {"err": err} if err is not None
+            {"err": err, **({"sec": round(best, 3)} if best is not None else {})}
+            if err is not None
             else {"sec": round(best, 3), "rows": rows}
         )
         status = results[name].get("err") or f"{results[name]['sec']:7.3f} s  {rows:>8} rows"

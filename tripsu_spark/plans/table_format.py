@@ -109,9 +109,23 @@ class IcebergFormat(TableFormat):
             )
 
     def table_identifier(self, path: str) -> str:
-        """Directory-style writer path -> catalog table identifier."""
-        leaf = os.path.basename(path.rstrip("/")).replace("=", "_").replace("-", "_")
-        return f"{self.catalog}.{self.namespace}.{leaf}"
+        """Directory-style writer path -> catalog table identifier.
+
+        DISTINCT paths must map to DISTINCT tables: the writer
+        addresses buckets as ``<base>/data/bucket=3`` (version 1) and
+        ``<base>/data/v2/bucket=3`` (version 2), and two pipelines may
+        share a catalog with different ``--output`` bases — a
+        leaf-only mapping would createOrReplace the SAME table from
+        all of them, destroying prior versions' data and breaking
+        ``read(as_of=...)``. The readable leaf keeps names browsable;
+        the crc32 of the full normalized path disambiguates (stable
+        across processes, unlike hash())."""
+        import zlib
+
+        norm = path.rstrip("/")
+        leaf = os.path.basename(norm).replace("=", "_").replace("-", "_")
+        tag = zlib.crc32(norm.encode("utf-8")) & 0xFFFFFFFF
+        return f"{self.catalog}.{self.namespace}.{leaf}_{tag:08x}"
 
     def write(self, df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
         self._require_runtime(df.sparkSession)

@@ -45,6 +45,24 @@ FAST_WRITE_CONF = {
 }
 
 
+# Keys the cluster launcher owns in spark-submit entry points (driver
+# memory via --driver-memory, UI per cluster policy) — everything else
+# in DEFAULTS is engine semantics and applies everywhere.
+SUBMIT_EXCLUDED = ("spark.driver.memory", "spark.ui.enabled")
+
+
+def get_submit_spark(app_name: str) -> SparkSession:
+    """Session for spark-submit entry points (jobs/*.py): engine
+    defaults applied, master and driver resources left to the
+    launcher. Single source of truth — job scripts must not re-apply
+    DEFAULTS by hand."""
+    builder = SparkSession.builder.appName(app_name)
+    for k, v in DEFAULTS.items():
+        if k not in SUBMIT_EXCLUDED:
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "tripsu-spark",
