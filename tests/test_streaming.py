@@ -168,3 +168,48 @@ def test_streaming_dedup_drops_duplicates_across_batches(spark, tmp_path):
     final = spark.read.parquet(out_path)
     assert sorted(r["text"] for r in final.collect()) == ["text A", "text B", "text C"]
     assert {r["doc_id"] for r in final.collect()} == {1, 3, 5}
+
+
+def test_streaming_scrub_and_score_matches_batch(spark, tmp_path):
+    """The streaming text-curation projection must be stateless (runs
+    under availableNow with no watermark) and row-identical to the
+    batch scrub_pii + repetition_metrics pair."""
+    import datetime as dt
+
+    from tripsu_spark.operators.text import repetition_metrics, scrub_pii
+    from tripsu_spark.streaming.stream import (
+        read_document_stream,
+        stream_scrub_and_score,
+    )
+
+    in_path, out_path = str(tmp_path / "in"), str(tmp_path / "out")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "mail bob@x.io from 10.0.0.1 now now now now", t0),
+        (2, "a clean sentence with all distinct words", t0),
+        (3, "buy now buy now buy now", t0),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id bigint, text string, ts timestamp")
+    batch.coalesce(1).write.mode("append").parquet(in_path)
+
+    q = (
+        stream_scrub_and_score(read_document_stream(spark, in_path))
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"]: r for r in spark.read.parquet(out_path).collect()}
+    pii = {r["doc_id"]: r for r in scrub_pii(batch).collect()}
+    rep = {r["doc_id"]: r for r in repetition_metrics(batch).collect()}
+    assert set(got) == {1, 2, 3}
+    for did, row in got.items():
+        assert row["scrubbed"] == pii[did]["scrubbed"]
+        assert row["n_email"] == pii[did]["n_email"]
+        assert row["n_ipv4"] == pii[did]["n_ipv4"]
+        assert row["dup_bigram_frac"] == rep[did]["dup_bigram_frac"]
+        assert row["top_token_frac"] == rep[did]["top_token_frac"]
+    assert "<EMAIL>" in got[1]["scrubbed"] and "<IP>" in got[1]["scrubbed"]

@@ -178,6 +178,45 @@ PII_PATTERNS = [
 ]
 
 
+def pii_scrub_exprs() -> tuple[Column, list[Column]]:
+    """(scrubbed_text_expr, [n_<category> count exprs]) over ``text`` —
+    the column-level building blocks of ``scrub_pii``, reusable in any
+    projection (incl. streaming plans, where per-row joins are not an
+    option and composition must happen in one select)."""
+    scrubbed: Column = F.col("text")
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return scrubbed, counts
+
+
+def repetition_exprs() -> tuple[Column, Column]:
+    """(dup_bigram_frac, top_token_frac) expressions over ``text`` —
+    the column-level building blocks of ``repetition_metrics``."""
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    dup_frac = F.when(n < 2, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)) / (n - 1).cast("double")
+    )
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda t: t == d)),
+        )
+    )
+    top_frac = F.when(n < 1, F.lit(0.0)).otherwise(top_cnt / n.cast("double"))
+    return F.round(dup_frac, 6), F.round(top_frac, 6)
+
+
 def scrub_pii(documents: DataFrame) -> DataFrame:
     """(doc_id, scrubbed, n_email, n_ipv4, n_phone): redact emails,
     IPv4 addresses and phone-shaped digit runs with typed placeholders.
@@ -192,16 +231,8 @@ def scrub_pii(documents: DataFrame) -> DataFrame:
     regexp_extract_all), shuffle-free, single narrow scan — the same
     cost shape as normalize_text at any corpus size.
     """
-    scrubbed = F.col("text")
-    cols = []
-    for name, pat, repl in PII_PATTERNS:
-        cols.append(
-            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
-            .cast("bigint")
-            .alias(f"n_{name}")
-        )
-        scrubbed = F.regexp_replace(scrubbed, pat, repl)
-    return documents.select("doc_id", scrubbed.alias("scrubbed"), *cols)
+    scrubbed, counts = pii_scrub_exprs()
+    return documents.select("doc_id", scrubbed.alias("scrubbed"), *counts)
 
 
 def scrub_pii_oracle() -> str:
@@ -226,26 +257,11 @@ def repetition_metrics(documents: DataFrame) -> DataFrame:
     evaluate identically — fine because it is per-document work over
     short token arrays, embarrassingly parallel, no shuffle.
     """
-    toks = _tokens(F.col("text"))
-    n = F.size(toks)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
-    dup_frac = F.when(n < 2, F.lit(0.0)).otherwise(
-        F.lit(1.0) - F.size(F.array_distinct(bigrams)) / (n - 1).cast("double")
-    )
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda d: F.size(F.filter(toks, lambda t: t == d)),
-        )
-    )
-    top_frac = F.when(n < 1, F.lit(0.0)).otherwise(top_cnt / n.cast("double"))
+    dup_frac, top_frac = repetition_exprs()
     return documents.select(
         "doc_id",
-        F.round(dup_frac, 6).alias("dup_bigram_frac"),
-        F.round(top_frac, 6).alias("top_token_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        top_frac.alias("top_token_frac"),
     )
 
 

@@ -218,3 +218,30 @@ def run_dedup_stream_to_parquet(
         .outputMode("append")
         .start()
     )
+
+
+def stream_scrub_and_score(documents: DataFrame) -> DataFrame:
+    """Streaming text curation: PII scrubbing + repetition quality
+    signals over a document stream, as ONE stateless projection.
+
+    Streaming plans can't join per-row results of two batch operators,
+    so this composes the column-level expression builders
+    (operators/text.py::pii_scrub_exprs / repetition_exprs) into a
+    single select — zero state, no watermark requirement, identical
+    semantics to running scrub_pii + repetition_metrics in batch
+    (pinned by tests/test_streaming.py). The natural pre-filter in
+    front of ``stream_dedup_exact`` on an unbounded feed:
+    scrub -> score -> dedup -> materialize.
+    """
+    from ..operators.text import pii_scrub_exprs, repetition_exprs
+
+    scrubbed, counts = pii_scrub_exprs()
+    dup_frac, top_frac = repetition_exprs()
+    return documents.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        *counts,
+        dup_frac.alias("dup_bigram_frac"),
+        top_frac.alias("top_token_frac"),
+        "ts",
+    )
