@@ -18,7 +18,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from tripsu_spark.crypto import Pseudonymizer  # noqa: E402
 from tripsu_spark.operators import curation, dedup, multimodal, similarity, text  # noqa: E402
-from tripsu_spark.operators.extract import dedupe_triples, extract_triples  # noqa: E402
+from tripsu_spark.operators.extract import (  # noqa: E402
+    conversation_stats,
+    dedupe_triples,
+    extract_triples,
+)
 from tripsu_spark.operators.index import build_type_index, type_index_pairs  # noqa: E402
 from tripsu_spark.operators.masking import apply_masks  # noqa: E402
 from tripsu_spark.plans import oracle  # noqa: E402
@@ -165,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntriples_lines": q_ntriples_lines,
         "ntriples_parse": q_ntriples_parse,
         "depseudo_roundtrip": q_depseudo_roundtrip,
+        "conversation_stats": lambda s, d: conversation_stats(_transcripts(s, d)),
         "entity_links": q_entity_links,
         # --- training-data pipeline ops: dedup ---
         "dedup_exact": lambda s, d: dedup.dedup_exact(_documents(s, d)),
@@ -232,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "ntriples_parse": oracle.q_extract_triples(),
         # round-trip inverse == identity: the oracle is the extraction
         "depseudo_roundtrip": oracle.q_extract_triples(),
+        "conversation_stats": oracle.q_conversation_stats(),
         "entity_links": oracle.q_entity_links(),
         "dedup_exact": dedup.dedup_exact_oracle(),
         "dedup_conversations": dedup.dedup_conversations_exact_oracle(

@@ -126,3 +126,28 @@ def test_skewed_conversation_still_exact(spark):
     assert a == b
     hot_turns = [x for x in a if x[1].startswith(KG + "turn/conv-hot/") and x[2] == RDF_TYPE]
     assert len(hot_turns) == 40
+
+
+def test_conversation_stats(spark):
+    from tripsu_spark.operators.extract import conversation_stats
+
+    rows = [
+        ("c1", 1, "user", "hi there", None, None),
+        ("c1", 2, "assistant", "hello!", "search", None),
+        ("c1", 3, "user", "bye", None, None),
+        ("c2", 1, "system", "boot", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {r["conv_id"]: r for r in conversation_stats(t).collect()}
+    c1 = got["c1"]
+    assert c1["n_turns"] == 3 and c1["n_roles"] == 2
+    assert c1["n_tool_turns"] == 1  # NULL tools not counted
+    assert c1["total_chars"] == len("hi there") + len("hello!") + len("bye")
+    assert c1["max_turn_idx"] == 3
+    assert abs(c1["user_frac"] - 2 / 3) < 1e-6
+    assert got["c2"]["n_turns"] == 1 and got["c2"]["user_frac"] == 0.0
+    # aggregate is map-side combinable: single shuffle keyed on conv_id
+    plan = conversation_stats(t)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1

@@ -347,3 +347,35 @@ def dedupe_triples(triples: DataFrame) -> DataFrame:
     return triples.dropDuplicates(
         ["s_kind", "s_value", "predicate", "o_kind", "o_value", "o_datatype", "o_lang"]
     )
+
+
+def conversation_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation curation stats over the transcript table:
+    (conv_id, n_turns, n_roles, n_tool_turns, total_chars, max_turn_idx,
+    user_frac) — the conversation-level analog of the document quality
+    signals (operators/text.py): a transcript pipeline filters/caps
+    conversations on these BEFORE triple extraction (drop single-turn
+    fragments, cap runaway agent loops, balance role mix).
+
+    100 TB: ONE map-side-combined aggregate keyed on conv_id (the same
+    shuffle key the bucketed writer and skew handling already use).
+    n_roles uses size(collect_set(role)) rather than countDistinct on
+    purpose: a distinct-aggregate plans a second Exchange (expand +
+    two-phase), while collect_set is an ordinary combinable aggregate
+    with state bounded by the tiny role vocabulary — the single-shuffle
+    shape is plan-asserted in tests/test_extract.py. No reference
+    counterpart (tripsu has no conversation model; graft input,
+    SURVEY.md §1.6).
+    """
+    return transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.size(F.collect_set("role")).cast("bigint").alias("n_roles"),
+        F.count("tool").alias("n_tool_turns"),  # count() skips NULL tools
+        F.sum(F.length("text")).alias("total_chars"),
+        F.max("turn_idx").alias("max_turn_idx"),
+        F.round(
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("user_frac"),
+    )

@@ -214,6 +214,22 @@ NTRIPLES_LINE_SQL = """
 """
 
 
+def q_conversation_stats() -> str:
+    return f"""
+WITH {TRANSCRIPTS_CTE.strip()}
+SELECT conv_id,
+  count(*) AS n_turns,
+  count(DISTINCT role) AS n_roles,
+  count(tool) AS n_tool_turns,
+  sum(length(text)) AS total_chars,
+  max(turn_idx) AS max_turn_idx,
+  round(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS user_frac
+FROM transcripts
+GROUP BY conv_id
+"""
+
+
 def q_transcripts() -> str:
     return f"WITH {TRANSCRIPTS_CTE.strip()} " + (
         "SELECT conv_id, turn_idx, role, text, tool, "
