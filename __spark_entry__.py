@@ -19,9 +19,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from tripsu_spark.crypto import Pseudonymizer  # noqa: E402
 from tripsu_spark.operators import curation, dedup, multimodal, similarity, text  # noqa: E402
 from tripsu_spark.operators.extract import (  # noqa: E402
+    GATE_CONV_PREDICATE,
     conversation_stats,
     dedupe_triples,
     extract_triples,
+    filter_conversations,
 )
 from tripsu_spark.operators.index import build_type_index, type_index_pairs  # noqa: E402
 from tripsu_spark.operators.masking import apply_masks  # noqa: E402
@@ -170,6 +172,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntriples_parse": q_ntriples_parse,
         "depseudo_roundtrip": q_depseudo_roundtrip,
         "conversation_stats": lambda s, d: conversation_stats(_transcripts(s, d)),
+        # stats-driven curation gate ahead of extraction (broadcast
+        # semi-join on the surviving conv_id set); GATE_CONV_PREDICATE
+        # is chosen to be discriminative on the synthetic sf tables
+        "filter_conversations": lambda s, d: filter_conversations(
+            _transcripts(s, d), GATE_CONV_PREDICATE
+        ).select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        ),
         "entity_links": q_entity_links,
         # --- training-data pipeline ops: dedup ---
         "dedup_exact": lambda s, d: dedup.dedup_exact(_documents(s, d)),
@@ -238,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
         # round-trip inverse == identity: the oracle is the extraction
         "depseudo_roundtrip": oracle.q_extract_triples(),
         "conversation_stats": oracle.q_conversation_stats(),
+        "filter_conversations": oracle.q_filter_conversations(),
         "entity_links": oracle.q_entity_links(),
         "dedup_exact": dedup.dedup_exact_oracle(),
         "dedup_conversations": dedup.dedup_conversations_exact_oracle(

@@ -146,8 +146,47 @@ def test_conversation_stats(spark):
     assert c1["n_tool_turns"] == 1  # NULL tools not counted
     assert c1["total_chars"] == len("hi there") + len("hello!") + len("bye")
     assert c1["max_turn_idx"] == 3
-    assert abs(c1["user_frac"] - 2 / 3) < 1e-6
-    assert got["c2"]["n_turns"] == 1 and got["c2"]["user_frac"] == 0.0
+    # exact integers, not a rounded double (engine-proof hashing)
+    assert c1["n_user_turns"] == 2
+    assert c1["user_frac_ppm"] == (1_000_000 * 2) // 3  # 666666
+    assert got["c2"]["n_turns"] == 1 and got["c2"]["user_frac_ppm"] == 0
     # aggregate is map-side combinable: single shuffle keyed on conv_id
     plan = conversation_stats(t)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_filter_conversations(spark):
+    from tripsu_spark.operators.extract import filter_conversations
+
+    rows = [
+        # c-keep: 4 turns, 2 user -> user_frac_ppm = 500000, passes
+        ("c-keep", 1, "user", "hi", None, None),
+        ("c-keep", 2, "assistant", "yo", None, None),
+        ("c-keep", 3, "user", "ok", None, None),
+        ("c-keep", 4, "assistant", "bye", None, None),
+        # c-frag: single turn -> n_turns < 3, dropped
+        ("c-frag", 1, "user", "hello?", None, None),
+        # c-loop: all-assistant -> user_frac_ppm = 0, dropped
+        ("c-loop", 1, "assistant", "a", None, None),
+        ("c-loop", 2, "assistant", "b", None, None),
+        ("c-loop", 3, "assistant", "c", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    kept = filter_conversations(t)
+    assert {r["conv_id"] for r in kept.collect()} == {"c-keep"}
+    assert kept.count() == 4  # every turn of the surviving conv
+    # custom predicate path
+    loose = filter_conversations(t, "n_turns >= 1")
+    assert loose.count() == len(rows)
+    # plan: broadcast LEFT SEMI join; the only shuffle is the stats
+    # aggregate itself — the big transcript side is never re-shuffled
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both sections
+    assert "BroadcastHashJoin" in final and "LeftSemi" in final
+    assert final.count("Exchange hashpartitioning") == 1
+    # composes with extraction (its stated purpose)
+    trip = dedupe_triples(extract_triples(kept))
+    assert trip.filter(F.col("s_value").contains("c-loop")).count() == 0
+    assert trip.count() > 0

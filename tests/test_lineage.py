@@ -296,6 +296,107 @@ def test_table_format_seam(spark, setup):
         ice.read(spark, "/tmp/x")
 
 
+class MockCatalogFormat:
+    """Catalog-semantics TableFormat test double (round-4 verdict item
+    6): tables live in an in-memory dict keyed by IcebergFormat's OWN
+    path->identifier mapping, writes are createOrReplace (replace the
+    table, like ``df.writeTo(...).createOrReplace()``), reads are
+    catalog lookups, and read_union unions per-bucket TABLES — there is
+    no '<base>/data' umbrella directory to fall back on. This drives
+    the writer's full bucket lifecycle (write -> read -> resume ->
+    overwrite -> time-travel) through a non-parquet format, which is
+    exactly the path IcebergFormat takes on a real cluster."""
+
+    def __init__(self):
+        from tripsu_spark.plans.table_format import IcebergFormat
+
+        self._ident = IcebergFormat(catalog="mock").table_identifier
+        self.tables = {}          # identifier -> (rows, schema)
+        self.write_log = []       # identifiers, in commit order
+        self.partitioning = {}    # identifier -> tuple(partition_by)
+
+    def write(self, df, path, partition_by=None):
+        ident = self._ident(path)
+        self.tables[ident] = (df.collect(), df.schema)
+        self.write_log.append(ident)
+        self.partitioning[ident] = tuple(partition_by or ())
+
+    def read(self, spark, path):
+        ident = self._ident(path)
+        if ident not in self.tables:
+            raise RuntimeError(f"mock catalog: no such table {ident}")
+        rows, schema = self.tables[ident]
+        return spark.createDataFrame(rows, schema)
+
+    def read_union(self, spark, paths, base_path):
+        from tripsu_spark.plans.table_format import _require_paths
+
+        _require_paths(paths, base_path)
+        out = None
+        for p in paths:
+            df = self.read(spark, p)
+            out = df if out is None else out.unionByName(df)
+        return out
+
+
+def test_mock_catalog_full_lifecycle(spark, setup):
+    """GraphTableWriter's whole lifecycle through catalog semantics:
+    write -> read -> kill/resume (committed tables NOT rewritten) ->
+    overwrite to a new version -> time-travel back — the contract
+    IcebergFormat must satisfy, exercised end-to-end without the jar."""
+    transcripts, rules, hasher, path = setup
+    catalog = MockCatalogFormat()
+
+    # -- write with an injected crash after bucket 0
+    writer = GraphTableWriter(path + "-cat", n_buckets=3, table_format=catalog)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        writer.run(spark, transcripts, rules, hasher, fail_after_bucket=0)
+    committed_idents = list(catalog.write_log)
+    # mid-run read: manifest-vouched bucket tables only, via read_union
+    assert writer.read(spark).count() > 0
+
+    # -- resume from a FRESH writer over the same catalog: committed
+    # bucket tables must not be written again (manifests gate the skip)
+    resumed = GraphTableWriter(path + "-cat", n_buckets=3, table_format=catalog)
+    m = resumed.run(spark, transcripts, rules, hasher, snapshot_id="snap-a")
+    assert set(m["buckets"].keys()) == {"1", "2", "derived"}
+    for ident in committed_idents:
+        assert catalog.write_log.count(ident) == 1
+    # bucket tables carry the partitioning metadata
+    assert all(
+        catalog.partitioning[i] == ("pred_part",)
+        for i in catalog.write_log if "bucket_" in i
+    )
+
+    # -- result identical to a clean parquet-format run
+    clean = GraphTableWriter(path + "-cat-clean", n_buckets=3)
+    clean.run(spark, transcripts, rules, hasher)
+    got = {tuple(r) for r in resumed.read(spark).collect()}
+    want = {tuple(r) for r in clean.read(spark).collect()}
+    assert got == want and got
+
+    # -- overwrite starts version 2: NEW table identifiers (v2 paths),
+    # version-1 tables untouched in the catalog
+    v1_tables = dict(catalog.tables)
+    m2 = resumed.run(
+        spark, transcripts.limit(20), rules, hasher,
+        snapshot_id="snap-b", overwrite=True,
+    )
+    assert m2["snapshot_id"] == "snap-b"
+    assert all(catalog.tables[i] == v1_tables[i] for i in v1_tables)
+    assert len(catalog.tables) > len(v1_tables)
+
+    # -- time-travel: as_of the version-1 snapshot reads v1 tables
+    back = {tuple(r) for r in resumed.read(spark, as_of="snap-a").collect()}
+    assert back == want
+    latest = resumed.read(spark)
+    assert latest.count() < len(want)  # v2 was built from fewer rows
+
+    # -- empty bucket set fails at the seam with the real reason
+    with pytest.raises(ValueError, match="no bucket paths"):
+        catalog.read_union(spark, [], path + "-cat")
+
+
 def test_midrun_read_returns_committed_buckets_only(spark, setup):
     """With no snapshot yet (mid-run after a crash), read() must return
     exactly the manifest-vouched buckets via the format seam — not

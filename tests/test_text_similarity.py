@@ -247,6 +247,13 @@ def test_scrub_pii_adversarial_cross_engine(spark):
         (2, "server at 192.168.001.5 port 8080, call +1 (415) 555-0133"),
         (3, "no pii here, just 42 and v1.2.3 and a@b (not an email)"),
         (4, "mixed: eve@corp.com from 10.0.0.1 dialed 020-7946-0958"),
+        # non-PII numerics the phone pattern must NOT touch (round-4
+        # advice: the old pattern redacted all of these)
+        (5, "released 2026-08-17, pi is 3.14159265, the war of 1914-1918"),
+        (6, "order id 12345678 shipped. call 911. 2019 was busy"),
+        (7, "versions 1.2.10.4000 build 20260817 at 12:30"),
+        # phones that MUST still be caught
+        (8, "NANP bare 415-555-0133 and parens (415) 555-0133 ok"),
     ]
     df = spark.createDataFrame(data, "doc_id bigint, text string")
     got = {r["doc_id"]: r for r in text.scrub_pii(df).collect()}
@@ -256,6 +263,11 @@ def test_scrub_pii_adversarial_cross_engine(spark):
     assert "<IP>" in got[2]["scrubbed"] and "<PHONE>" in got[2]["scrubbed"]
     assert got[3]["n_email"] == 0 and got[3]["n_ipv4"] == 0
     assert got[4]["n_email"] == 1 and got[4]["n_ipv4"] == 1 and got[4]["n_phone"] == 1
+    # dates / decimals / ids / build numbers stay intact
+    for did in (5, 6, 7):
+        assert got[did]["n_phone"] == 0 and got[did]["n_ipv4"] == 0, did
+        assert got[did]["scrubbed"] == dict(data)[did], did
+    assert got[8]["n_phone"] == 2 and "415" not in got[8]["scrubbed"]
     # cross-engine on the SAME adversarial frame
     con = duckdb.connect()
     con.register("documents", pd.DataFrame(data, columns=["doc_id", "text"]))

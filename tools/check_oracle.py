@@ -30,7 +30,12 @@ def norm_cell(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        return f"{v:.9g}"
+        # Full repr (shortest round-tripping form), NOT a truncated %g:
+        # round-4's conversation_stats shipped driver-red while this gate
+        # was green precisely because %.9g hid an ulp-level divergence in
+        # a rounded double. The local gate must be at least as strict as
+        # the driver's hasher, so hash the exact IEEE value.
+        return repr(v)
     return str(v)
 
 

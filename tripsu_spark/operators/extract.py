@@ -352,10 +352,19 @@ def dedupe_triples(triples: DataFrame) -> DataFrame:
 def conversation_stats(transcripts: DataFrame) -> DataFrame:
     """Per-conversation curation stats over the transcript table:
     (conv_id, n_turns, n_roles, n_tool_turns, total_chars, max_turn_idx,
-    user_frac) — the conversation-level analog of the document quality
-    signals (operators/text.py): a transcript pipeline filters/caps
-    conversations on these BEFORE triple extraction (drop single-turn
-    fragments, cap runaway agent loops, balance role mix).
+    n_user_turns, user_frac_ppm) — the conversation-level analog of the
+    document quality signals (operators/text.py): a transcript pipeline
+    filters/caps conversations on these BEFORE triple extraction (drop
+    single-turn fragments, cap runaway agent loops, balance role mix).
+
+    Every column is an exact integer. The user-turn share is carried as
+    the pair (n_user_turns, n_turns) plus a convenience
+    ``user_frac_ppm = (1_000_000 * n_user_turns) div n_turns`` computed
+    in pure bigint arithmetic — deliberately NOT a rounded double: a
+    round(k/n, 6) double is a non-terminating ratio whose last ulp can
+    differ between engines/versions, which made this the one
+    hash-mismatching query in CORRECTNESS_r04. Integer div is
+    engine-exact everywhere.
 
     100 TB: ONE map-side-combined aggregate keyed on conv_id (the same
     shuffle key the bucketed writer and skew handling already use).
@@ -367,15 +376,56 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
     counterpart (tripsu has no conversation model; graft input,
     SURVEY.md §1.6).
     """
+    n_user = F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).cast("bigint")
     return transcripts.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.size(F.collect_set("role")).cast("bigint").alias("n_roles"),
         F.count("tool").alias("n_tool_turns"),  # count() skips NULL tools
         F.sum(F.length("text")).alias("total_chars"),
         F.max("turn_idx").alias("max_turn_idx"),
-        F.round(
-            F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("user_frac"),
+        n_user.alias("n_user_turns"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END))"
+            " DIV count(*) AS BIGINT)"
+        ).alias("user_frac_ppm"),
     )
+
+
+#: Default curation predicate over conversation_stats columns: keep
+#: conversations long enough to carry structure, not runaway agent
+#: loops, with a sane user-turn share. Plain SQL so the DuckDB oracle
+#: can reuse the string verbatim.
+DEFAULT_CONV_PREDICATE = (
+    "n_turns >= 3 AND n_turns <= 500 "
+    "AND user_frac_ppm BETWEEN 100000 AND 900000"
+)
+
+#: Predicate used for the driver's oracle row: the synthetic sf tables
+#: are uniform enough that the generic default keeps everything (a
+#: vacuous gate proves nothing), so the gated query uses thresholds
+#: that demonstrably discriminate there (sf0.01: n_turns spans 49-86,
+#: user_frac_ppm 232k-580k — this keeps roughly the middle half).
+GATE_CONV_PREDICATE = "n_turns <= 72 AND user_frac_ppm BETWEEN 300000 AND 500000"
+
+
+def filter_conversations(
+    transcripts: DataFrame, predicate: str = DEFAULT_CONV_PREDICATE
+) -> DataFrame:
+    """Keep only the transcript rows of conversations whose
+    ``conversation_stats`` row satisfies ``predicate`` (a SQL boolean
+    over the stats columns) — the consumer the stats operator exists
+    for: drop single-turn fragments / runaway loops / role-imbalanced
+    conversations BEFORE triple extraction. Compose as
+    ``extract_triples(filter_conversations(t))``.
+
+    100 TB shape (mirrors apply_mixture): the surviving conv_id set is
+    a per-conversation aggregate — orders of magnitude smaller than the
+    turns table — so it is broadcast and the filter is a broadcast
+    LEFT SEMI join: the big side keeps its partitioning, no second
+    shuffle (plan-asserted in tests/test_extract.py). At a corpus where
+    even the conv-id set outgrows broadcast, drop the hint and let AQE
+    pick a shuffled semi-join keyed on conv_id — the same key the
+    stats shuffle and bucketed writer already use.
+    """
+    keep = conversation_stats(transcripts).filter(predicate).select("conv_id")
+    return transcripts.join(F.broadcast(keep), "conv_id", "left_semi")

@@ -168,13 +168,36 @@ FROM documents
 
 # PII patterns, deliberately restricted to syntax both Java regex
 # (Spark) and RE2 (DuckDB) interpret identically: character classes,
-# bounded repetition, \b — no lookaround, no backreferences. Applied
-# in THIS order (emails before phones so the phone pattern can't eat
-# an address's digits; IPs before phones for the same reason).
+# bounded repetition, alternation, \b — no lookaround, no
+# backreferences. Applied in THIS order (emails before phones so the
+# phone pattern can't eat an address's digits; IPs before phones for
+# the same reason).
+#
+# The phone pattern is three alternated shapes, precision-first (an
+# over-broad digit-run pattern silently corrupts dates/decimals/IDs in
+# training text — round-4 advice verified '2026-08-17', '3.14159265',
+# '1914-1918' and 'order id 12345678' all matched the old
+# one-separator-class form, and '911. 2019' fused across a sentence
+# boundary):
+#   1. +international: an explicit '+' anchors it, so digits/short
+#      separators after it are unambiguous (covers '+1 (415) 555-0133',
+#      '+41 79 555 12 34').
+#   2. NANP 3-3-4 with at most ONE of [ .-] between groups and word
+#      boundaries at both ends ('415-555-0133', '(415) 555-0133') —
+#      dates (8 digits, 4-2-2) and decimals can't align to it.
+#   3. dash-grouped 2/4-3/4-3/4 ('020-7946-0958'); a yyyy-mm-dd date
+#      fails its {3,4} middle group.
+# Known recall loss, accepted for precision: bare 10+ digit runs and
+# space-separated groups WITHOUT a leading '+' are left alone.
+PHONE_PATTERN = (
+    r"\+[0-9](?:[ ().-]{0,2}[0-9]){6,14}"
+    r"|\(?\b[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\b"
+    r"|\b[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}\b"
+)
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
-    ("phone", r"\+?[0-9][0-9()\s.-]{6,}[0-9]", "<PHONE>"),
+    ("phone", PHONE_PATTERN, "<PHONE>"),
 ]
 
 
@@ -195,6 +218,34 @@ def pii_scrub_exprs() -> tuple[Column, list[Column]]:
     return scrubbed, counts
 
 
+def _max_multiplicity(toks: Column) -> Column:
+    """Count of the most frequent element, as the max run length of the
+    SORTED array via one fold — O(n log n) per document, replacing the
+    old ``transform(array_distinct, d -> size(filter(toks, =d)))`` form
+    that was O(distinct × n) (quadratic on high-diversity documents;
+    it benched ~20× slower than the sibling text ops, BENCH_OPS_r04).
+    Still a pure expression, so it composes into streaming projections.
+
+    The fold state is (prev, run, best); the "" sentinel for prev is
+    safe even when the first token IS "" — then run+1 = 0+1 = 1, the
+    same value the fresh-run branch assigns."""
+    run_next = lambda acc, t: (  # noqa: E731
+        F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+    )
+    return F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            run_next(acc, t).alias("run"),
+            F.greatest(acc["best"], run_next(acc, t)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 def repetition_exprs() -> tuple[Column, Column]:
     """(dup_bigram_frac, top_token_frac) expressions over ``text`` —
     the column-level building blocks of ``repetition_metrics``."""
@@ -207,19 +258,16 @@ def repetition_exprs() -> tuple[Column, Column]:
     dup_frac = F.when(n < 2, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct(bigrams)) / (n - 1).cast("double")
     )
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda d: F.size(F.filter(toks, lambda t: t == d)),
-        )
+    top_frac = F.when(n < 1, F.lit(0.0)).otherwise(
+        _max_multiplicity(toks) / n.cast("double")
     )
-    top_frac = F.when(n < 1, F.lit(0.0)).otherwise(top_cnt / n.cast("double"))
     return F.round(dup_frac, 6), F.round(top_frac, 6)
 
 
 def scrub_pii(documents: DataFrame) -> DataFrame:
     """(doc_id, scrubbed, n_email, n_ipv4, n_phone): redact emails,
-    IPv4 addresses and phone-shaped digit runs with typed placeholders.
+    IPv4 addresses and phone numbers (precision-first shapes, see
+    PHONE_PATTERN — dates/decimals/IDs survive) with typed placeholders.
     Each category is counted on the text AFTER the earlier categories
     were already replaced, so counts equal what that category actually
     redacted (an IP is not double-counted as a phone; the placeholders
@@ -253,9 +301,11 @@ def repetition_metrics(documents: DataFrame) -> DataFrame:
     frequent token. High values flag boilerplate/spam for filtering.
 
     Pure Catalyst via higher-order array functions; the top-token count
-    is the O(distinct x n) transform/filter form, which both engines
-    evaluate identically — fine because it is per-document work over
-    short token arrays, embarrassingly parallel, no shuffle.
+    is a sort + max-run-length fold (O(n log n) per document, see
+    ``_max_multiplicity``) — per-document work, embarrassingly
+    parallel, no shuffle. The oracle computes the same count the
+    relational way (unnest → group → max), which is what you'd also do
+    on Spark if a corpus ever made per-row sorting the bottleneck.
     """
     dup_frac, top_frac = repetition_exprs()
     return documents.select(
@@ -266,21 +316,28 @@ def repetition_metrics(documents: DataFrame) -> DataFrame:
 
 
 def repetition_metrics_oracle() -> str:
-    toks = r"string_split_regex(lower(text), '\s+')"
+    toks = r"string_split_regex(lower(d.text), '\s+')"
     bigrams = (
         f"list_transform(range(1, len({toks})), "
         f"i -> {toks}[i] || ' ' || {toks}[i + 1])"
     )
-    top_cnt = (
-        f"list_max(list_transform(list_distinct({toks}), "
-        f"d -> len(list_filter({toks}, t -> t = d))))"
-    )
+    # linear top-count via unnest -> group -> max (the relational twin
+    # of the Spark side's sorted max-run-length fold); every document
+    # has >= 1 token (split of '' is ['']), so the join never misses
     return f"""
-SELECT doc_id,
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+  FROM documents
+), topc AS (
+  SELECT doc_id, max(c) AS top_cnt
+  FROM (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
   ROUND(CASE WHEN len({toks}) < 2 THEN 0.0
         ELSE 1.0 - len(list_distinct({bigrams}))
                    / CAST(len({toks}) - 1 AS DOUBLE) END, 6) AS dup_bigram_frac,
   ROUND(CASE WHEN len({toks}) < 1 THEN 0.0
-        ELSE {top_cnt} / CAST(len({toks}) AS DOUBLE) END, 6) AS top_token_frac
-FROM documents
+        ELSE topc.top_cnt / CAST(len({toks}) AS DOUBLE) END, 6) AS top_token_frac
+FROM documents d JOIN topc ON d.doc_id = topc.doc_id
 """

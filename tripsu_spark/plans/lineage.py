@@ -399,10 +399,11 @@ class GraphTableWriter:
                 raise ValueError(f"unknown snapshot {as_of!r}; committed: {known}")
             snap = matching[-1]
         paths = [os.path.join(self.base_path, b["path"]) for b in snap["buckets"].values()]
-        # all buckets of one snapshot share a version data dir
+        # all buckets of one snapshot share a version data dir; an
+        # empty-bucket snapshot reaches read_union's descriptive error
+        base = os.path.dirname(paths[0]) if paths else self.data_dir
         return maybe_expand(
-            self.fmt.read_union(spark, paths, os.path.dirname(paths[0]))
-            .drop("pred_part", "bucket")
+            self.fmt.read_union(spark, paths, base).drop("pred_part", "bucket")
         )
 
 

@@ -214,19 +214,41 @@ NTRIPLES_LINE_SQL = """
 """
 
 
-def q_conversation_stats() -> str:
-    return f"""
-WITH {TRANSCRIPTS_CTE.strip()}
+_CONV_STATS_SELECT = """
 SELECT conv_id,
   count(*) AS n_turns,
   count(DISTINCT role) AS n_roles,
   count(tool) AS n_tool_turns,
   sum(length(text)) AS total_chars,
   max(turn_idx) AS max_turn_idx,
-  round(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
-        / CAST(count(*) AS DOUBLE), 6) AS user_frac
+  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_user_turns,
+  CAST((1000000 * sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END))
+       // count(*) AS BIGINT) AS user_frac_ppm
 FROM transcripts
 GROUP BY conv_id
+"""
+
+
+def q_conversation_stats() -> str:
+    return f"WITH {TRANSCRIPTS_CTE.strip()} {_CONV_STATS_SELECT}"
+
+
+def q_filter_conversations(predicate: str | None = None) -> str:
+    """Transcript rows of conversations passing the curation predicate
+    — same projection as q_transcripts, semi-filtered on the stats
+    subquery (operators/extract.py::filter_conversations)."""
+    from ..operators.extract import GATE_CONV_PREDICATE
+
+    pred = predicate or GATE_CONV_PREDICATE
+    return f"""
+WITH {TRANSCRIPTS_CTE.strip()}
+SELECT conv_id, turn_idx, role, text, tool,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM transcripts
+WHERE conv_id IN (
+  SELECT conv_id FROM ({_CONV_STATS_SELECT}) WHERE {pred}
+)
 """
 
 

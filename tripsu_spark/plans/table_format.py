@@ -57,21 +57,28 @@ class ParquetFormat(TableFormat):
         return spark.read.parquet(path)
 
     def read_union(self, spark: SparkSession, paths: list[str], base_path: str) -> DataFrame:
+        _require_paths(paths, base_path)
         # basePath makes Spark treat the bucket=<k> roots as partition dirs
         return spark.read.option("basePath", base_path).parquet(*paths)
 
 
 #: spark-submit flags that make IcebergFormat runnable on a real
-#: cluster — the documented swap recipe (version pairs with the
-#: cluster's Spark; 1.x runtime line for Spark 3.5/4.x):
+#: cluster — the documented swap recipe. The runtime artifact is
+#: per-Spark-line (they are NOT interchangeable):
+#:   Spark 3.5 -> org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:1.5.x
+#:   Spark 4.x -> org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0+
+#:     (Iceberg only ships a Spark 4 runtime from 1.10 on)
+#: This repo runs PySpark 4.1.x, so the recipe defaults to the 4.0_2.13
+#: line; substitute the 3.5 artifact on a Spark 3.5 cluster.
 ICEBERG_SUBMIT_RECIPE = """\
 spark-submit \\
-  --packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:1.5.2 \\
+  --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0 \\
   --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions \\
   --conf spark.sql.catalog.{catalog}=org.apache.iceberg.spark.SparkCatalog \\
   --conf spark.sql.catalog.{catalog}.type=hadoop \\
   --conf spark.sql.catalog.{catalog}.warehouse={warehouse} \\
-  --py-files tripsu_spark.zip jobs/run_pipeline.py ... --table-format iceberg"""
+  --py-files tripsu_spark.zip jobs/run_pipeline.py ... --table-format iceberg
+# Spark 3.5 clusters: use iceberg-spark-runtime-3.5_2.12:1.5.2 instead"""
 
 
 class IcebergFormat(TableFormat):
@@ -140,8 +147,22 @@ class IcebergFormat(TableFormat):
 
     def read_union(self, spark: SparkSession, paths: list[str], base_path: str) -> DataFrame:
         self._require_runtime(spark)
+        _require_paths(paths, base_path)
         out = None
         for p in paths:
             df = spark.read.table(self.table_identifier(p))
             out = df if out is None else out.unionByName(df)
         return out
+
+
+def _require_paths(paths: list[str], base_path: str) -> None:
+    """A snapshot/manifest set with ZERO buckets would otherwise fail
+    far from the cause (IcebergFormat would return None -> caller
+    AttributeError on .drop; parquet would raise an opaque arity
+    error inside spark.read). Fail at the seam with the real reason."""
+    if not paths:
+        raise ValueError(
+            f"read_union: no bucket paths to read under {base_path!r} — "
+            "the snapshot/manifest set is empty (nothing was committed, "
+            "or the wrong snapshot was selected)"
+        )
