@@ -71,6 +71,76 @@ def test_stateful_link_counts_accumulate_across_batches(spark, tmp_path):
     assert got2 == {("c1", "7"): 2, ("c1", "9"): 1}
 
 
+def test_stream_conversation_stats_matches_batch(spark, tmp_path):
+    """Running per-conversation stats across micro-batches AND a
+    restart: the last emission per conv_id must equal the batch
+    conversation_stats over everything ingested (all-integer columns,
+    so equality is exact, not approximate)."""
+    from tripsu_spark.operators.extract import conversation_stats
+    from tripsu_spark.streaming.stream import stream_conversation_stats
+
+    TS = datetime.datetime(2024, 1, 1)
+    in_path = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = [
+        ("c1", 1, "user", "hello there", None, TS),
+        ("c1", 2, "assistant", "hi!", "search", TS),
+        ("c2", 1, "system", "boot", None, TS),
+    ]
+    # c1 continues in a LATER drop (state must carry across batches
+    # and across the restart); c3 is brand new after the restart
+    batch2 = [
+        ("c1", 3, "user", "more", None, TS),
+        ("c3", 1, "user", "solo", "calc", TS),
+    ]
+    spark.createDataFrame(batch1, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_path)
+
+    def drain(name):
+        rows = []
+
+        def sink(batch_df, _bid):
+            rows.extend(batch_df.collect())
+
+        q = (
+            stream_conversation_stats(read_transcript_stream(spark, in_path))
+            .writeStream.foreachBatch(sink)
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["conv_id"]: r for r in rows}  # last emission wins
+
+    got1 = drain("convstats1")
+    assert got1["c1"]["n_turns"] == 2 and got1["c1"]["user_frac_ppm"] == 500000
+    assert got1["c2"]["n_roles"] == 1 and got1["c2"]["n_tool_turns"] == 0
+
+    spark.createDataFrame(batch2, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_path)
+    got2 = drain("convstats2")
+    # second drain emits only updated convs, with ACCUMULATED state
+    assert set(got2) == {"c1", "c3"}
+
+    merged = {**got1, **got2}
+    want = {
+        r["conv_id"]: r
+        for r in conversation_stats(spark.read.parquet(in_path)).collect()
+    }
+    cols = [
+        "n_turns", "n_roles", "n_tool_turns", "total_chars",
+        "max_turn_idx", "n_user_turns", "user_frac_ppm",
+    ]
+    assert set(merged) == set(want)
+    for cid in want:
+        for c in cols:
+            assert merged[cid][c] == want[cid][c], (cid, c)
+
+
 def test_streaming_pass2_pseudonymizes_with_restart(spark, tmp_path):
     """Streaming pass 2 e2e: transcript drops -> pseudonymized triples
     via foreachBatch against the persisted pass-1 index; a second drop

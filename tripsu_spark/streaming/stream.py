@@ -101,6 +101,81 @@ def stream_entity_link_state(transcripts: DataFrame) -> DataFrame:
     )
 
 
+CONV_STATS_STATE_SCHEMA = (
+    "roles array<string>, n_turns bigint, n_tool bigint, "
+    "chars bigint, max_idx bigint, n_user bigint"
+)
+CONV_STATS_OUTPUT_SCHEMA = (
+    "conv_id string, n_turns bigint, n_roles bigint, n_tool_turns bigint, "
+    "total_chars bigint, max_turn_idx bigint, n_user_turns bigint, "
+    "user_frac_ppm bigint"
+)
+
+
+def stream_conversation_stats(transcripts: DataFrame) -> DataFrame:
+    """Streaming sibling of ``operators.extract.conversation_stats``:
+    RUNNING per-conversation curation counters across micro-batches via
+    ``applyInPandasWithState`` (turns of one conversation may arrive in
+    many batches; a windowed aggregate would fragment the counts). Each
+    batch emits the UPDATED conversations' full stats row — the last
+    emission per conv_id equals the batch operator over everything seen
+    (pinned batch-equivalent in tests/test_streaming.py).
+
+    State per conversation is O(1): six integers plus the tiny role
+    vocabulary. All emitted values are exact integers;
+    ``user_frac_ppm`` uses the same floor-division the batch/oracle
+    pair uses, so the three surfaces agree bit-for-bit. Use
+    outputMode("update"); compose in front of the stats-driven
+    curation gate (operators/extract.py::filter_conversations) for
+    drop-as-you-ingest pipelines."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            roles, n_turns, n_tool, chars, max_idx, n_user = state.get
+            roles = list(roles)
+        else:
+            roles, n_turns, n_tool, chars, max_idx, n_user = [], 0, 0, 0, 0, 0
+        role_set = set(roles)
+        for pdf in pdfs:
+            for role, text, tool, turn_idx in zip(
+                pdf["role"], pdf["text"], pdf["tool"], pdf["turn_idx"]
+            ):
+                n_turns += 1
+                if role is not None and role not in role_set:
+                    role_set.add(role)
+                if tool is not None:
+                    n_tool += 1
+                if text is not None:
+                    chars += len(text)
+                if turn_idx is not None:
+                    max_idx = max(max_idx, int(turn_idx))
+                if role == "user":
+                    n_user += 1
+        state.update((sorted(role_set), n_turns, n_tool, chars, max_idx, n_user))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n_turns],
+                "n_roles": [len(role_set)],
+                "n_tool_turns": [n_tool],
+                "total_chars": [chars],
+                "max_turn_idx": [max_idx],
+                "n_user_turns": [n_user],
+                "user_frac_ppm": [(1_000_000 * n_user) // n_turns],
+            }
+        )
+
+    return transcripts.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=CONV_STATS_OUTPUT_SCHEMA,
+        stateStructType=CONV_STATS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_pseudo_stream_to_parquet(
     spark: SparkSession,
     in_path: str,
