@@ -2,12 +2,23 @@
 __spark_entry__ query on Spark AND its oracle SQL on DuckDB at sf0.01,
 compare row count + column names + order-insensitive value hash.
 
+The oracle side is materialized through pandas (``res.df()``), NOT
+``fetchall()``: the driver's harness evidently goes through pandas, and
+pandas coerces DuckDB HUGEINT (the result type of ``sum(INTEGER)``) to
+float64 — which made conversation_stats driver-red for two rounds while
+the fetchall()-based gate stayed green (r05 VERDICT items 1-2). The
+local gate must fail exactly where the driver's does, so it now sees
+the same type coercions, plus an explicit dtype check: an integral
+Spark column whose oracle side materializes as floating is flagged even
+before the hash differs.
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 import sys
 from pathlib import Path
 
@@ -72,18 +83,21 @@ def main() -> int:
         if name not in oracles:
             print(f"{name:24s} rows-only: {len(srows)} rows (no oracle)")
             continue
-        res = con.execute(oracles[name])
-        dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
+        ddf = con.execute(oracles[name]).df()
+        dcols = list(ddf.columns)
+        drows = _pandas_rows(ddf)
         ok_cols = sorted(scols) == sorted(dcols)
         ok_rows = len(srows) == len(drows)
+        ok_dtype, dtype_msg = _check_dtypes(sdf, ddf)
         sh = table_hash([tuple(r) for r in srows], scols)
         dh = table_hash(drows, dcols)
         ok_hash = sh == dh
-        status = "OK" if (ok_cols and ok_rows and ok_hash) else "FAIL"
+        status = "OK" if (ok_cols and ok_rows and ok_hash and ok_dtype) else "FAIL"
         print(
             f"{name:24s} {status}  spark={len(srows)} duck={len(drows)} "
-            f"cols={'=' if ok_cols else f'{scols} vs {dcols}'} hash={'=' if ok_hash else 'MISMATCH'}"
+            f"cols={'=' if ok_cols else f'{scols} vs {dcols}'} "
+            f"hash={'=' if ok_hash else 'MISMATCH'}"
+            + ("" if ok_dtype else f" dtype={dtype_msg}")
         )
         if status == "FAIL":
             failures += 1
@@ -91,6 +105,43 @@ def main() -> int:
                 _diff(srows, scols, drows, dcols)
     spark.stop()
     return 1 if failures else 0
+
+
+def _pandas_rows(ddf) -> list[tuple]:
+    """Rows exactly as pandas materializes them (the driver's view):
+    numpy scalars unwrapped to Python values — an int64 column yields
+    int, a float64 column yields float (so a HUGEINT aggregate coerced
+    to float64 stays float and hashes as '2946.0'). NaN/None -> None."""
+    rows = []
+    for tup in ddf.itertuples(index=False, name=None):
+        row = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                row.append(None)
+                continue
+            item = getattr(v, "item", None)
+            row.append(item() if item is not None and type(v).__module__ == "numpy" else v)
+        rows.append(tuple(row))
+    return rows
+
+
+def _check_dtypes(sdf, ddf) -> tuple[bool, str]:
+    """Oracle pandas dtypes must be type-compatible with the Spark
+    schema: an integral Spark column materializing as floating on the
+    oracle side (HUGEINT/uncast SUM -> float64) is exactly the
+    divergence class that goes driver-red; name it explicitly."""
+    import pandas.api.types as pt
+
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    bad = []
+    for col in ddf.columns:
+        st = spark_types.get(col)
+        if st in ("tinyint", "smallint", "int", "bigint") and pt.is_float_dtype(ddf[col]):
+            # pandas uses float64 for a nullable int column; only a
+            # NaN-free float column proves an oracle typing bug
+            if not ddf[col].isna().any():
+                bad.append(f"{col}: spark {st} vs oracle {ddf[col].dtype}")
+    return (not bad, "; ".join(bad))
 
 
 def _diff(srows, scols, drows, dcols, limit=5):

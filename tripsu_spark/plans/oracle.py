@@ -219,7 +219,7 @@ SELECT conv_id,
   count(*) AS n_turns,
   count(DISTINCT role) AS n_roles,
   count(tool) AS n_tool_turns,
-  sum(length(text)) AS total_chars,
+  CAST(sum(length(text)) AS BIGINT) AS total_chars,
   max(turn_idx) AS max_turn_idx,
   CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
     AS n_user_turns,
