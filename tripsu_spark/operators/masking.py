@@ -77,11 +77,21 @@ def join_types(
         key_fn = lambda c: c  # noqa: E731
     subj_side, obj_side = index_df, index_df
     if rules is not None:
+        # ONE pruned index for BOTH sides (guide §2.4: shared exchange).
+        # The object side only consults node_of_type, so pruning it to
+        # the same union set as the subject side is mask-invariant:
+        # extra on_type_predicate types in obj_types cannot make
+        # arrays_overlap(obj_types, of_type) true, and entries kept
+        # only for those types yield overlap=false exactly like the
+        # NULL the tighter pruning produced. Identical build subtrees
+        # canonicalize equal, so the second join reuses the first's
+        # broadcast (plan shows one BroadcastExchange + ReusedExchange
+        # instead of two builds, each with its own index scan).
         subj_side = prune_index_for_rules(
             index_df,
             set(rules.node_of_type) | set(rules.object_on_type_predicate),
         )
-        obj_side = prune_index_for_rules(index_df, rules.node_of_type)
+        obj_side = subj_side
     subj_index = subj_side.select(
         F.col("subject_key").alias("_subj_key"), F.col("types").alias("subj_types")
     )
