@@ -197,18 +197,22 @@ def _sql_bands(num_hashes: int = NUM_HASHES, band_size: int = BAND_SIZE) -> str:
 def dedup_minhash_lsh(documents: DataFrame, num_hashes: int = NUM_HASHES,
                       band_size: int = BAND_SIZE,
                       min_est: float = EST_JACCARD_MIN,
-                      reuse_sigs: bool = False) -> DataFrame:
+                      reuse_sigs: bool = True) -> DataFrame:
     """Candidate near-dup pairs: bucket-join on LSH bands, then verify
     on signature agreement >= ``min_est``. Output (a, b, est) with
     a < b, est rounded to avoid cross-engine float noise.
 
-    ``reuse_sigs=True`` lazily ``localCheckpoint``s the signature frame
-    so the ~num_hashes×shingles md5 work per doc runs ONCE instead of
-    4× (the plan references sigs in the band self-join twice and the
-    verify join twice, and Catalyst does not CSE across join branches).
-    At production params (128 hashes) signatures dominate; measured 100k
-    docs: see BENCH.md stress section. Off by default so the oracle-gate
-    plans stay pure-Catalyst (plan assertions in tests/test_plans.py)."""
+    ``reuse_sigs=True`` (default since the optimization round) lazily
+    ``localCheckpoint``s the signature frame so the ~num_hashes×shingles
+    md5 work per doc runs ONCE instead of 4× (the plan references sigs
+    in the band self-join twice and the verify join twice, and Catalyst
+    does not CSE across join branches). At production params (128
+    hashes) signatures dominate: measured 4.05× on the batch surface and
+    ~4× on the declared query (see OPTIMIZATION_r06.md). Output is
+    pinned identical either way (tests/test_dedup.py
+    test_minhash_lsh_reuse_sigs_identical); pass ``reuse_sigs=False``
+    for a pure-Catalyst single plan (streaming-safe, no materialized
+    intermediate)."""
     sigs = minhash_sig_frame(documents, num_hashes)
     if reuse_sigs:
         sigs = sigs.localCheckpoint(eager=False)
@@ -485,7 +489,7 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
 
 def dedup_clusters(documents: DataFrame, num_hashes: int = NUM_HASHES,
                    band_size: int = BAND_SIZE, min_est: float = EST_JACCARD_MIN,
-                   max_iters: int = 25, reuse_sigs: bool = False) -> DataFrame:
+                   max_iters: int = 25, reuse_sigs: bool = True) -> DataFrame:
     """(doc_id, cluster_id) — connected components over the MinHash-LSH
     near-dup graph; cluster_id = min doc_id in the component (the doc a
     dedup pipeline keeps). See ``connected_components`` for the

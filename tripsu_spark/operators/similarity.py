@@ -48,6 +48,17 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine() with PRE-COMPUTED norms (guide §1.2 "don't compute
+    things you throw away"): inside a pairwise join, cosine() evaluates
+    _norm per PAIR — two extra 64-dim interpreted array-aggregate dots
+    per candidate, tripling the per-pair work. Computing each side's
+    norm once per ROW before the join is bit-identical (same expression,
+    same fold order, applied to the same values) and measured 2.8x on
+    the exact near-dup operator (67.9s -> 24.4s at sf0.1)."""
+    return _dot(a, b) / (na * nb)
+
+
 def _emb(col: str = "embedding") -> Column:
     return F.col(col).cast("array<double>")
 
@@ -71,13 +82,18 @@ def ann_topk(embeddings: DataFrame) -> DataFrame:
     the first N_QUERIES vectors against the full table."""
     queries = embeddings.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), _emb().alias("q")
-    )
-    cands = embeddings.select(F.col("vec_id").alias("neighbor_id"), _emb().alias("v"))
+    ).withColumn("nq", _norm(F.col("q")))
+    cands = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), _emb().alias("v")
+    ).withColumn("nv", _norm(F.col("v")))
     scored = (
         F.broadcast(queries)
         .crossJoin(cands)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine(F.col("q"), F.col("v")), 6))
+        .withColumn(
+            "score",
+            F.round(cosine_pre(F.col("q"), F.col("v"), F.col("nq"), F.col("nv")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -148,17 +164,23 @@ def ann_topk_lsh(embeddings: DataFrame) -> DataFrame:
     b = lsh_buckets(embeddings)
     withb = embeddings.join(b, "vec_id").select(
         F.col("vec_id"), _emb().alias("v"), F.col("bucket")
-    )
+    ).withColumn("nv", _norm(F.col("v")))
     queries = withb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("bucket")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.col("nv").alias("nq"),
+        F.col("bucket"),
     )
     scored = (
         queries.join(
-            withb.select(F.col("vec_id").alias("neighbor_id"), "v", "bucket"),
+            withb.select(F.col("vec_id").alias("neighbor_id"), "v", "nv", "bucket"),
             on="bucket",
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine(F.col("q"), F.col("v")), 6))
+        .withColumn(
+            "score",
+            F.round(cosine_pre(F.col("q"), F.col("v"), F.col("nq"), F.col("nv")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -221,17 +243,26 @@ def collect_centroids(embeddings: DataFrame) -> list[tuple[int, list[float]]]:
     return sorted((int(r["cell"]), list(r["c"])) for r in rows)
 
 
-def _assign_expr(cents: list[tuple[int, list[float]]], v: Column | None = None) -> Column:
+def _assign_expr(
+    cents: list[tuple[int, list[float]]],
+    v: Column | None = None,
+    nv: Column | None = None,
+) -> Column:
     """argmax-by-(score, -cell) over literal centroid arrays — a pure
     per-row expression: no join, no shuffle, no window (round-1 verdict
     item 6: the crossJoin+row_number formulation shuffled k× the rows).
     Centroid norms are computed from the literal arrays (constant-folded
-    by Catalyst) so float fold order matches the DuckDB oracle."""
+    by Catalyst) so float fold order matches the DuckDB oracle.
+    ``nv`` optionally supplies a pre-computed ``_norm(v)`` column so the
+    row's own norm is evaluated once instead of once per centroid (the
+    interpreted array-aggregate is the expensive part; same value, same
+    fold order — see cosine_pre)."""
     v = _emb() if v is None else v
+    nv = _norm(v) if nv is None else nv
     scored = [
         F.struct(
             F.round(
-                _dot(v, _lit_arr(c)) / (_norm(v) * _norm(_lit_arr(c))), 6
+                _dot(v, _lit_arr(c)) / (nv * _norm(_lit_arr(c))), 6
             ).alias("score"),
             F.lit(-cell).cast("long").alias("negc"),
         )
@@ -248,7 +279,11 @@ def ivf_assign(embeddings: DataFrame) -> DataFrame:
     on lowest centroid id. Embarrassingly parallel: one narrow scan,
     zero Exchange (asserted in tests/test_plans.py)."""
     cents = collect_centroids(embeddings)
-    return embeddings.select(F.col("vec_id"), _assign_expr(cents))
+    return (
+        embeddings.select(F.col("vec_id"), _emb().alias("_v"))
+        .withColumn("_nv", _norm(F.col("_v")))
+        .select(F.col("vec_id"), _assign_expr(cents, F.col("_v"), F.col("_nv")))
+    )
 
 
 def ann_topk_ivf(embeddings: DataFrame) -> DataFrame:
@@ -258,16 +293,23 @@ def ann_topk_ivf(embeddings: DataFrame) -> DataFrame:
     assign = ivf_assign(embeddings)
     withc = embeddings.join(assign, "vec_id").select(
         F.col("vec_id"), _emb().alias("v"), F.col("cell")
-    )
+    ).withColumn("nv", _norm(F.col("v")))
     queries = withc.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("cell")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.col("nv").alias("nq"),
+        F.col("cell"),
     )
     scored = (
         queries.join(
-            withc.select(F.col("vec_id").alias("neighbor_id"), "v", "cell"), on="cell"
+            withc.select(F.col("vec_id").alias("neighbor_id"), "v", "nv", "cell"),
+            on="cell",
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine(F.col("q"), F.col("v")), 6))
+        .withColumn(
+            "score",
+            F.round(cosine_pre(F.col("q"), F.col("v"), F.col("nq"), F.col("nv")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -297,7 +339,9 @@ def ivf_kmeans_centroids(
     cents = collect_centroids(embeddings)
     vs = embeddings.select(F.col("vec_id"), _emb().alias("v"))
     for _ in range(iters):
-        assigned = vs.select(F.col("v"), _assign_expr(cents, F.col("v")))
+        assigned = vs.withColumn("_nv", _norm(F.col("v"))).select(
+            F.col("v"), _assign_expr(cents, F.col("v"), F.col("_nv"))
+        )
         means = (
             assigned.select(F.col("cell"), F.posexplode("v").alias("pos", "val"))
             .groupBy("cell", "pos")
@@ -310,15 +354,23 @@ def ivf_kmeans_centroids(
     return cents
 
 
-def _probe_cells(cents: list[tuple[int, list[float]]], nprobe: int) -> Column:
+def _probe_cells(
+    cents: list[tuple[int, list[float]]],
+    nprobe: int,
+    nv: Column | None = None,
+    v: Column | None = None,
+) -> Column:
     """Top-``nprobe`` cells by centroid cosine, as an array<long> —
-    pure per-row expression (sort a k-element literal-scored array)."""
-    v = _emb()
+    pure per-row expression (sort a k-element literal-scored array).
+    ``nv`` pre-computes the row norm once instead of once per centroid
+    (same value/fold order, see _assign_expr)."""
+    v = _emb() if v is None else v
+    nv = _norm(v) if nv is None else nv
     scored = F.array(
         *[
             F.struct(
                 (
-                    -F.round(_dot(v, _lit_arr(c)) / (_norm(v) * _norm(_lit_arr(c))), 6)
+                    -F.round(_dot(v, _lit_arr(c)) / (nv * _norm(_lit_arr(c))), 6)
                 ).alias("negs"),
                 F.lit(cell).cast("long").alias("cell"),
             )
@@ -335,18 +387,32 @@ def ann_topk_ivf_kmeans(embeddings: DataFrame) -> DataFrame:
     the probed union. The only shuffle is the (cell)-keyed candidate
     join — cell is the vector table's natural partition key at scale."""
     cents = ivf_kmeans_centroids(embeddings)
-    withc = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), _emb().alias("v"), _assign_expr(cents)
+    withc = (
+        embeddings.select(F.col("vec_id").alias("neighbor_id"), _emb().alias("v"))
+        .withColumn("nv", _norm(F.col("v")))
+        .select(
+            "neighbor_id", "v", "nv",
+            _assign_expr(cents, F.col("v"), F.col("nv")),
+        )
     )
-    queries = embeddings.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        _emb().alias("q"),
-        F.explode(_probe_cells(cents, IVF_NPROBE)).alias("cell"),
+    queries = (
+        embeddings.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), _emb().alias("q"))
+        .withColumn("nq", _norm(F.col("q")))
+        .select(
+            "query_id", "q", "nq",
+            F.explode(
+                _probe_cells(cents, IVF_NPROBE, F.col("nq"), F.col("q"))
+            ).alias("cell"),
+        )
     )
     scored = (
         queries.join(withc, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine(F.col("q"), F.col("v")), 6))
+        .withColumn(
+            "score",
+            F.round(cosine_pre(F.col("q"), F.col("v"), F.col("nq"), F.col("nv")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -485,12 +551,20 @@ def dedup_embedding_cosine(
 ) -> DataFrame:
     """Near-duplicate vector pairs (a < b) with cosine >= threshold.
     IDs only — no float columns in the output."""
-    vs = embeddings.select(F.col("vec_id"), _emb().alias("v"))
+    vs = embeddings.select(F.col("vec_id"), _emb().alias("v")).withColumn(
+        "nv", _norm(F.col("v"))
+    )
     return (
         vs.alias("x")
         .join(vs.alias("y"), F.col("x.vec_id") < F.col("y.vec_id"))
         .filter(
-            F.round(cosine(F.col("x.v"), F.col("y.v")), 6) >= threshold
+            F.round(
+                cosine_pre(
+                    F.col("x.v"), F.col("y.v"), F.col("x.nv"), F.col("y.nv")
+                ),
+                6,
+            )
+            >= threshold
         )
         .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
     )
@@ -594,12 +668,21 @@ def dedup_embedding_cosine_lsh(
         .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
         .distinct()
     )
-    va = embeddings.select(F.col("vec_id").alias("a"), _emb().alias("xv"))
-    vb = embeddings.select(F.col("vec_id").alias("b"), _emb().alias("yv"))
+    va = embeddings.select(F.col("vec_id").alias("a"), _emb().alias("xv")).withColumn(
+        "nx", _norm(F.col("xv"))
+    )
+    vb = embeddings.select(F.col("vec_id").alias("b"), _emb().alias("yv")).withColumn(
+        "ny", _norm(F.col("yv"))
+    )
     return (
         pairs.join(va, "a")
         .join(vb, "b")
-        .filter(F.round(cosine(F.col("xv"), F.col("yv")), 6) >= threshold)
+        .filter(
+            F.round(
+                cosine_pre(F.col("xv"), F.col("yv"), F.col("nx"), F.col("ny")), 6
+            )
+            >= threshold
+        )
         .select("a", "b")
     )
 
