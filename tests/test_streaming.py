@@ -86,6 +86,10 @@ def test_stream_conversation_stats_matches_batch(spark, tmp_path):
         ("c1", 1, "user", "hello there", None, TS),
         ("c1", 2, "assistant", "hi!", "search", TS),
         ("c2", 1, "system", "boot", None, TS),
+        # edge conversation: all-NULL turn_idx and text — the batch
+        # aggregate's SUM/MAX yield NULL and the stream must emit NULL
+        # too, not a 0 seed (r05 ADVICE item 3)
+        ("c4", None, "user", None, None, TS),
     ]
     # c1 continues in a LATER drop (state must carry across batches
     # and across the restart); c3 is brand new after the restart
@@ -93,7 +97,13 @@ def test_stream_conversation_stats_matches_batch(spark, tmp_path):
         ("c1", 3, "user", "more", None, TS),
         ("c3", 1, "user", "solo", "calc", TS),
     ]
-    spark.createDataFrame(batch1, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+    # nullable twin of TRANSCRIPT_SCHEMA: raw/un-quarantined input may
+    # carry NULL turn_idx (the exact case the c4 row pins)
+    nullable_schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    spark.createDataFrame(batch1, nullable_schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(in_path)
 
@@ -118,6 +128,7 @@ def test_stream_conversation_stats_matches_batch(spark, tmp_path):
     got1 = drain("convstats1")
     assert got1["c1"]["n_turns"] == 2 and got1["c1"]["user_frac_ppm"] == 500000
     assert got1["c2"]["n_roles"] == 1 and got1["c2"]["n_tool_turns"] == 0
+    assert got1["c4"]["total_chars"] is None and got1["c4"]["max_turn_idx"] is None
 
     spark.createDataFrame(batch2, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
         "append"

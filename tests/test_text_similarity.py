@@ -282,6 +282,28 @@ def test_scrub_pii_adversarial_cross_engine(spark):
         ), did
 
 
+def test_scrub_pii_bare_ten_digit_policy(spark):
+    """Pin the documented 10-digit policy (r05 ADVICE item 2): a bare
+    EXACTLY-10-digit standalone run matches the NANP shape (all its
+    separators are individually optional) and is redacted — intended,
+    with 10-digit IDs/unix timestamps as the accepted collateral —
+    while bare digit runs of any other length survive untouched."""
+    data = [
+        (1, "call 4155550133 now"),          # unseparated NANP -> redacted
+        (2, "ts 1723900000 logged"),         # 10-digit timestamp -> accepted collateral
+        (3, "id 123456789 ok"),              # 9 digits -> untouched
+        (4, "card 12345678901 ok"),          # 11 digits -> untouched
+        (5, "serial 123456789012 ok"),       # 12 digits -> untouched
+    ]
+    df = spark.createDataFrame(data, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in text.scrub_pii(df).collect()}
+    assert got[1]["n_phone"] == 1 and "<PHONE>" in got[1]["scrubbed"]
+    assert got[2]["n_phone"] == 1 and "<PHONE>" in got[2]["scrubbed"]
+    for did in (3, 4, 5):
+        assert got[did]["n_phone"] == 0, did
+        assert got[did]["scrubbed"] == dict(data)[did], did
+
+
 def test_repetition_metrics_flags_boilerplate(spark):
     import duckdb
     import pandas as pd

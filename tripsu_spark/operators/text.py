@@ -184,11 +184,18 @@ FROM documents
 #      '+41 79 555 12 34').
 #   2. NANP 3-3-4 with at most ONE of [ .-] between groups and word
 #      boundaries at both ends ('415-555-0133', '(415) 555-0133') —
-#      dates (8 digits, 4-2-2) and decimals can't align to it.
+#      dates (8 digits, 4-2-2) and decimals can't align to it. The
+#      separators are individually OPTIONAL, so a bare EXACTLY-10-digit
+#      standalone run ('4155550133') also matches and is redacted —
+#      intended: an unseparated 10-digit token in prose is
+#      overwhelmingly a NANP number. The accepted collateral is
+#      10-digit numeric IDs/unix timestamps ('1723900000'); runs of
+#      any OTHER length without separators (8, 9, 11, 12 digits …) are
+#      left alone (pinned in tests/test_text_similarity.py).
 #   3. dash-grouped 2/4-3/4-3/4 ('020-7946-0958'); a yyyy-mm-dd date
 #      fails its {3,4} middle group.
-# Known recall loss, accepted for precision: bare 10+ digit runs and
-# space-separated groups WITHOUT a leading '+' are left alone.
+# Known recall loss, accepted for precision: digit runs of length != 10
+# and space-separated groups WITHOUT a leading '+' are left alone.
 PHONE_PATTERN = (
     r"\+[0-9](?:[ ().-]{0,2}[0-9]){6,14}"
     r"|\(?\b[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\b"

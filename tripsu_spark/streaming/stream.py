@@ -136,7 +136,13 @@ def stream_conversation_stats(transcripts: DataFrame) -> DataFrame:
             roles, n_turns, n_tool, chars, max_idx, n_user = state.get
             roles = list(roles)
         else:
-            roles, n_turns, n_tool, chars, max_idx, n_user = [], 0, 0, 0, 0, 0
+            # chars/max_idx start as None, not 0: the batch operator's
+            # SUM/MAX over an all-NULL column is NULL, and the last
+            # emission must equal the batch row even on such edge
+            # conversations (r05 ADVICE item 3 — an all-NULL turn_idx
+            # conversation used to emit 0, and a negative turn_idx was
+            # clamped by the 0 seed).
+            roles, n_turns, n_tool, chars, max_idx, n_user = [], 0, 0, None, None, 0
         role_set = set(roles)
         for pdf in pdfs:
             for role, text, tool, turn_idx in zip(
@@ -148,9 +154,12 @@ def stream_conversation_stats(transcripts: DataFrame) -> DataFrame:
                 if tool is not None:
                     n_tool += 1
                 if text is not None:
-                    chars += len(text)
-                if turn_idx is not None:
-                    max_idx = max(max_idx, int(turn_idx))
+                    chars = (0 if chars is None else chars) + len(text)
+                # a nullable int column reaches pandas as float NaN, not
+                # None — pd.isna covers both
+                if turn_idx is not None and not pd.isna(turn_idx):
+                    ti = int(turn_idx)
+                    max_idx = ti if max_idx is None else max(max_idx, ti)
                 if role == "user":
                     n_user += 1
         state.update((sorted(role_set), n_turns, n_tool, chars, max_idx, n_user))
