@@ -172,7 +172,13 @@ def extract_features(assets: DataFrame, decode: str = "fake") -> DataFrame:
                 }
             )
 
-    return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    # Opaque functions defeat column pruning (guide §4.1): without the
+    # explicit select, the unused `meta` JSON sidecar would be computed
+    # and shipped through Arrow into every Python worker just to be
+    # dropped. Pass exactly what the function reads.
+    return assets.select("asset_id", "kind", "payload").mapInPandas(
+        batches, schema=FEATURE_SCHEMA
+    )
 
 
 def multimodal_features(documents: DataFrame) -> DataFrame:
