@@ -230,6 +230,25 @@ def _lit_arr(values) -> Column:
     return F.array(*[F.lit(float(x)) for x in values])
 
 
+def _py_norm(values) -> float:
+    """Driver-side L2 norm of a literal centroid, folded in EXACTLY the
+    order Spark's ``_norm`` (aggregate over zip_with, acc := acc + x*x,
+    seeded 0.0) and the DuckDB oracle's list_aggregate use — sequential
+    left-to-right IEEE-double adds, so the value is bit-identical to
+    what the engines would compute. Needed because Catalyst does NOT
+    constant-fold higher-order functions: ``_norm(_lit_arr(c))`` in a
+    projection re-ran the interpreted 64-element aggregate for every
+    centroid on EVERY ROW (verified via optimizedPlan; the previous
+    "constant-folded by Catalyst" comment was wrong)."""
+    import math
+
+    acc = 0.0
+    for x in values:
+        v = float(x)
+        acc = acc + v * v
+    return math.sqrt(acc)
+
+
 def collect_centroids(embeddings: DataFrame) -> list[tuple[int, list[float]]]:
     """Driver-side seed centroids: the first N_CENTROIDS vectors.
     Collecting k tiny rows to the driver and re-broadcasting them as
@@ -251,18 +270,20 @@ def _assign_expr(
     """argmax-by-(score, -cell) over literal centroid arrays — a pure
     per-row expression: no join, no shuffle, no window (round-1 verdict
     item 6: the crossJoin+row_number formulation shuffled k× the rows).
-    Centroid norms are computed from the literal arrays (constant-folded
-    by Catalyst) so float fold order matches the DuckDB oracle.
-    ``nv`` optionally supplies a pre-computed ``_norm(v)`` column so the
-    row's own norm is evaluated once instead of once per centroid (the
-    interpreted array-aggregate is the expensive part; same value, same
-    fold order — see cosine_pre)."""
+    Centroid norms are driver-computed double literals (``_py_norm``,
+    bit-identical fold order to both engines — Catalyst does NOT fold
+    higher-order functions, so an in-plan ``_norm(_lit_arr(c))`` would
+    re-run per row per centroid). ``nv`` optionally supplies a
+    pre-computed ``_norm(v)`` column so the row's own norm is evaluated
+    once instead of once per centroid (the interpreted array-aggregate
+    is the expensive part; same value, same fold order — see
+    cosine_pre)."""
     v = _emb() if v is None else v
     nv = _norm(v) if nv is None else nv
     scored = [
         F.struct(
             F.round(
-                _dot(v, _lit_arr(c)) / (nv * _norm(_lit_arr(c))), 6
+                _dot(v, _lit_arr(c)) / (nv * F.lit(_py_norm(c))), 6
             ).alias("score"),
             F.lit(-cell).cast("long").alias("negc"),
         )
@@ -370,7 +391,7 @@ def _probe_cells(
         *[
             F.struct(
                 (
-                    -F.round(_dot(v, _lit_arr(c)) / (nv * _norm(_lit_arr(c))), 6)
+                    -F.round(_dot(v, _lit_arr(c)) / (nv * F.lit(_py_norm(c))), 6)
                 ).alias("negs"),
                 F.lit(cell).cast("long").alias("cell"),
             )
